@@ -1,0 +1,80 @@
+"""Volume-rendering compositing primitives.
+
+The NeRF-W additive two-field compositing used throughout the reference
+renderer (`models/rendering.py:202-248`):
+
+    alpha_s = 1 - exp(-delta_s * sigma_s)
+    alpha_t = 1 - exp(-delta_t * sigma_t)
+    alpha   = 1 - (1-alpha_s)(1-alpha_t)
+    T_i     = prod_{j<i} (1 - alpha_j)          (shared transmittance)
+    w_s = alpha_s * T,  w_t = alpha_t * T,  w = alpha * T
+
+Kept as small pure functions so both the XLA renderer and the Pallas
+ray-march kernel share one definition.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# the reference pads the last interval with 100 (static) / 1e-3 (transient)
+# (`rendering.py:202-204`)
+STATIC_FAR_DELTA = 100.0
+TRANSIENT_FAR_DELTA = 1e-3
+
+
+def softplus(x):
+    """Sigma activation (`rendering.py:305` uses torch.nn.Softplus)."""
+    return jax.nn.softplus(x)
+
+
+def deltas_from_zs(zs):
+    """(N, S) depths -> static & transient deltas, each (N, S)."""
+    d = zs[:, 1:] - zs[:, :-1]
+    static = jnp.concatenate(
+        [d, jnp.full_like(d[:, :1], STATIC_FAR_DELTA)], -1)
+    transient = jnp.concatenate(
+        [d, jnp.full_like(d[:, :1], TRANSIENT_FAR_DELTA)], -1)
+    return static, transient
+
+
+def sigma2alpha(sigma_raw, deltas, noise=None):
+    """Raw sigma -> alpha, with optional pre-activation noise
+    (`rendering.py:206-208`). `noise` is a same-shaped array or None."""
+    if noise is not None:
+        sigma_raw = sigma_raw + noise
+    return 1.0 - jnp.exp(-deltas * softplus(sigma_raw))
+
+
+def transmittance(alphas):
+    """Shared transmittance T_i = prod_{j<i}(1-alpha_j) (`rendering.py:234-235`).
+    Exclusive cumulative product along the sample axis."""
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas[:, :-1]], -1)
+    return jnp.cumprod(shifted, -1)
+
+
+def composite_two_fields(static_alphas, transient_alphas):
+    """NeRF-W additive compositing of two alpha fields.
+
+    Returns (static_weights, transient_weights, weights, trans) where
+    `weights = alpha * T` with `alpha = 1-(1-a_s)(1-a_t)`.
+    """
+    alphas = 1.0 - (1.0 - static_alphas) * (1.0 - transient_alphas)
+    trans = transmittance(alphas)
+    return static_alphas * trans, transient_alphas * trans, alphas * trans, trans
+
+
+def composite_one_field(alphas):
+    """Single-field weights = alpha * T (`rendering.py:241,248`)."""
+    return alphas * transmittance(alphas)
+
+
+def weighted_sum(weights, values):
+    """sum_i w_i * v_i along the sample axis.
+
+    weights: (N, S); values: (N, S) or (N, S, C).
+    """
+    if values.ndim == weights.ndim + 1:
+        return jnp.sum(weights[..., None] * values, axis=-2)
+    return jnp.sum(weights * values, axis=-1)
