@@ -1,0 +1,123 @@
+"""HBM-resident ray-table pipeline.
+
+The reference feeds training through a torch DataLoader with 4 worker
+processes, each `__getitem__` assembling a full batch on the host
+(`datasets/monocular.py:220-250`, `train.py:153-160`). On TPU the whole
+(N_frames, H*W, 16) ray table (~283 MB fp32 for kid-running) fits in HBM,
+so we upload it once and make batch assembly a device-side gather inside
+the jitted train step — no host<->device traffic per step, no worker
+processes.
+
+Two pieces:
+
+- `FrameScheduler` (host, stateful): picks the frame index for each step
+  with the reference's temporal anti-correlation rule — next frame is
+  sampled outside a +-5 window of the last one (`monocular.py:222-232`).
+  Sequential host state is the natural home for this; it is O(1) per step.
+- `RayBatcher` (device, pure): given (rng, t) gathers `batch_size` rays of
+  frame t, uniformly or weighted by the hard-sampling distribution
+  (`monocular.py:234-241`). Returns the batch dict the loss expects
+  (`monocular.py:242-250`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FrameScheduler:
+    """Temporal anti-correlation frame sampling (`monocular.py:222-232`).
+
+    Consecutive batches come from frames >= `window`+1 apart so the static
+    field does not absorb dynamics. The reference runs one scheduler per
+    DataLoader worker; here a single stream drives the (synchronous) train
+    loop.
+    """
+
+    def __init__(self, n_frames: int, window: int = 5, seed: int = 42):
+        self.n_frames = n_frames
+        self.window = window
+        self.rng = np.random.RandomState(seed)
+        self.last_t = -1
+
+    def next(self) -> int:
+        if self.last_t == -1:
+            t = int(self.rng.choice(self.n_frames))
+        else:
+            valid = list(set(range(self.n_frames))
+                         - set(range(self.last_t - self.window,
+                                     self.last_t + self.window + 1)))
+            if not valid:  # tiny scenes: fall back to uniform
+                valid = list(range(self.n_frames))
+            t = int(self.rng.choice(valid))
+        self.last_t = t
+        return t
+
+
+class RayBatcher:
+    """Device-side batch gather over the HBM-resident ray table."""
+
+    # ray-table channel layout (matches monocular.py:181-184)
+    RAYS = slice(0, 6)
+    RGB = slice(6, 9)
+    T = 9
+    DISP = 10
+    MASK = 11
+    UV_FW = slice(12, 14)
+    UV_BW = slice(14, 16)
+
+    def __init__(self, table: np.ndarray, batch_size: int,
+                 hard_sampling: bool = False):
+        """table: (N_frames, H*W, 16) float32 (from MonocularScene.rays)."""
+        self.n_frames, self.n_pixels, _ = table.shape
+        self.batch_size = batch_size
+        self.hard_sampling = hard_sampling
+        self.table = jax.device_put(jnp.asarray(table))
+        # hard-sampling distribution, refreshed from validation SSIM maps
+        # (train.py:246-257); kept on device as log-weights for Gumbel
+        # top-k sampling
+        self.weights = jnp.ones((self.n_frames, self.n_pixels), jnp.float32)
+
+    def update_weights(self, t: int, w: np.ndarray):
+        """Refresh one frame's sampling weights (1 - SSIM, train.py:253)."""
+        self.weights = self.weights.at[t].set(jnp.asarray(w))
+
+    def sample(self, rng: jax.Array, t) -> Dict[str, jnp.ndarray]:
+        """Gather one training batch for frame `t` (traced or concrete).
+
+        Uniform: random integer gather. Hard sampling: weighted draw with
+        replacement via Gumbel-max (equivalent to `np.random.choice(p=w)`,
+        `monocular.py:236-238`).
+        """
+        return _sample_batch(self.table, self.weights, rng, jnp.asarray(t),
+                             self.batch_size, self.hard_sampling)
+
+
+def _sample_batch(table, weights, rng, t, batch_size: int,
+                  hard_sampling: bool) -> Dict[str, jnp.ndarray]:
+    """Pure sampling fn (jit-friendly; call from inside the train step)."""
+    n_pixels = table.shape[1]
+    frame = table[t]  # (H*W, 16) dynamic gather over frames
+    if hard_sampling:
+        logw = jnp.log(jnp.maximum(weights[t], 1e-12))
+        # Gumbel-max with replacement: one gumbel per (draw, pixel) would be
+        # (B, P) — too big. Instead draw B independent categoricals.
+        idx = jax.random.categorical(rng, logw, shape=(batch_size,))
+    else:
+        idx = jax.random.randint(rng, (batch_size,), 0, n_pixels)
+    rays = frame[idx]  # (B, 16)
+    B = RayBatcher
+    return {
+        "rays": rays[:, B.RAYS],
+        "rgbs": rays[:, B.RGB],
+        "ts": rays[:, B.T].astype(jnp.int32),
+        "cam_ids": jnp.zeros((batch_size,), jnp.int32),  # monocular: cam 0
+        "disps": rays[:, B.DISP],
+        "rays_mask": rays[:, B.MASK],
+        "uv_fw": rays[:, B.UV_FW],
+        "uv_bw": rays[:, B.UV_BW],
+        "rand_idx": idx,
+    }

@@ -1,0 +1,165 @@
+"""The jitted training / rendering steps.
+
+Replaces `NSFFSystem.training_step` + `forward` (`train.py:99-123,178-198`):
+one fused XLA program does (device-side batch gather) -> render with
+scene-flow warping -> 8-term loss -> grads -> optax update. Under a
+`jax.sharding.Mesh` the ray batch is sharded over chips and XLA inserts
+the gradient all-reduce + the collectives for batch-global loss statistics
+(median/MAD/disocc means/top-k), replacing Lightning DDP over NCCL
+(`train.py:294-301`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nsff_pl_tpu.data.pipeline import _sample_batch
+from nsff_pl_tpu.models.rendering import RenderConfig, render_rays
+from nsff_pl_tpu.parallel import mesh as mesh_lib
+from nsff_pl_tpu.training.loss import LossConfig, compute_losses, total_loss
+
+
+class TrainState(NamedTuple):
+    params: Any  # {'nerf_fine', 'nerf_coarse'?, 'embedding_a'?, 'embedding_t'?}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _split_params(params):
+    """Model params pytree -> (models dict, embeddings dict) as the
+    renderer expects."""
+    models = {"fine": params["nerf_fine"]}
+    if "nerf_coarse" in params:
+        models["coarse"] = params["nerf_coarse"]
+    embeddings = {}
+    if "embedding_a" in params:
+        embeddings["a"] = params["embedding_a"]
+    if "embedding_t" in params:
+        embeddings["t"] = params["embedding_t"]
+    return models, embeddings
+
+
+def make_train_step(
+    render_cfg: RenderConfig,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    *,
+    output_transient: bool,
+    output_transient_flow: Tuple[str, ...],
+    steps_per_epoch: int,
+    batch_size: int,
+    hard_sampling: bool = False,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    The returned function has signature
+        train_step(state, table, weights, Ks, Ps, rng, t) -> (state, metrics)
+    where `table` is the HBM-resident ray table, `weights` the
+    hard-sampling distribution, `t` the scheduler-chosen frame, and
+    metrics contains the per-term losses + PSNR (`train.py:187-196`).
+    """
+
+    def step_fn(state: TrainState, table, weights, Ks, Ps, rng, t):
+        k_sample, k_render = jax.random.split(rng)
+        batch = _sample_batch(table, weights, k_sample, t, batch_size,
+                              hard_sampling)
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(mesh, batch)
+        epoch = state.step // steps_per_epoch
+
+        def loss_fn(params):
+            models, embeddings = _split_params(params)
+            results = render_rays(
+                models, embeddings, batch["rays"],
+                batch["ts"] if output_transient else None,
+                k_render, render_cfg,
+                test_time=False,
+                output_transient=output_transient,
+                output_transient_flow=output_transient_flow)
+            loss_d = compute_losses(
+                results, batch, loss_cfg, epoch=epoch,
+                output_transient_flow=output_transient_flow,
+                Ks=Ks, Ps=Ps)
+            loss = total_loss(loss_d)
+            mse = jnp.mean((results["rgb_fine"] - batch["rgbs"]) ** 2)
+            return loss, (loss_d, mse, results["rgb_fine"], batch["rand_idx"])
+
+        (loss, (loss_d, mse, rgb_fine, rand_idx)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+
+        metrics = dict(loss_d)
+        metrics["loss"] = loss
+        metrics["psnr"] = -10.0 * jnp.log10(mse)
+        # expose the rendered rgb + ray ids for the hard-sampling buffer
+        # (train.py:184-185)
+        aux = {"rgb_fine": rgb_fine, "rand_idx": rand_idx, "t": t}
+        return new_state, metrics, aux
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_render_fn(
+    render_cfg: RenderConfig,
+    *,
+    test_time: bool = True,
+    output_transient: bool,
+    output_transient_flow: Tuple[str, ...] = (),
+    with_visibility: bool = False,
+    keys: Optional[Tuple[str, ...]] = None,
+):
+    """Jitted full-ray-batch renderer for validation / eval.
+
+    The reference loops chunks with `.cpu()` round-trips
+    (`train.py:105-123`, `eval.py:90-110`); here the whole ray set stays on
+    device and the caller invokes this jitted fn per fixed-size chunk.
+    `keys` optionally restricts the returned dict (saves HBM on full-image
+    renders)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render(params, rays, ts, rng, vis_poses=None, vis_K=None):
+        models, embeddings = _split_params(params)
+        out = render_rays(
+            models, embeddings, rays, ts, rng, render_cfg,
+            test_time=test_time,
+            output_transient=output_transient,
+            output_transient_flow=output_transient_flow,
+            vis_poses=vis_poses if with_visibility else None,
+            vis_K=vis_K if with_visibility else None)
+        if keys is not None:
+            out = {k: v for k, v in out.items() if k in keys}
+        return out
+
+    return render
+
+
+def render_full_image(render_fn, params, rays, ts, rng, chunk: int = 32768,
+                      vis_poses=None, vis_K=None) -> Dict[str, jnp.ndarray]:
+    """Render H*W rays with a fixed-size chunked jitted fn (one compile).
+
+    Pads the last chunk to `chunk` rays so every invocation reuses the same
+    executable, then trims."""
+    n = rays.shape[0]
+    outs = []
+    for i in range(0, n, chunk):
+        r = rays[i:i + chunk]
+        t = ts[i:i + chunk] if ts is not None else None
+        pad = chunk - r.shape[0]
+        if pad > 0:
+            r = jnp.concatenate([r, jnp.broadcast_to(r[-1:], (pad, r.shape[1]))])
+            if t is not None:
+                t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (pad,))])
+        out = render_fn(params, r, t, rng, vis_poses, vis_K)
+        if pad > 0:
+            out = {k: v[:chunk - pad] for k, v in out.items()}
+        outs.append(out)
+    return {k: jnp.concatenate([o[k] for o in outs], 0) for k in outs[0]}

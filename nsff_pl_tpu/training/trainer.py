@@ -1,0 +1,333 @@
+"""Training orchestration — the reference's `NSFFSystem` + Lightning
+`Trainer` (`train.py:35-303`) as a plain loop around one jitted step.
+
+Responsibilities mapped from the reference:
+- model/embedding construction + partial weight loading (train.py:46-92)
+- per-epoch lambda_geo decay (train.py:174-176) — folded into the loss
+  (it depends only on `epoch = step // steps_per_epoch`)
+- training step + scalar logging (train.py:178-198)
+- validation on the middle frame with image grids (train.py:200-259)
+- hard-example mining: tmp_rgb buffer + SSIM-derived sampling weights
+  (train.py:140-143,184-185,246-257)
+- per-epoch checkpoints incl. optimizer state AND sampling weights — the
+  reference forgets the latter (monocular.py:235 TODO)
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsff_pl_tpu.config import NSFFConfig
+from nsff_pl_tpu.data.pipeline import FrameScheduler, RayBatcher
+from nsff_pl_tpu.models import nerf as nerf_m
+from nsff_pl_tpu.models.rendering import RenderConfig
+from nsff_pl_tpu.scene import scene_dict
+from nsff_pl_tpu.training import checkpoint as ckpt_lib
+from nsff_pl_tpu.training import metrics as metrics_lib
+from nsff_pl_tpu.training.loss import LossConfig
+from nsff_pl_tpu.training.optim import make_optimizer
+from nsff_pl_tpu.training.step import (TrainState, make_render_fn,
+                                       make_train_step, render_full_image)
+from nsff_pl_tpu.utils import visualization as viz
+
+
+class TensorBoardLogger:
+    """Thin wrapper over torch's SummaryWriter (the reference logs through
+    TestTubeLogger -> TensorBoard, `train.py:282-286`); falls back to a
+    JSONL file when tensorboard is unavailable."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir)
+        except Exception:
+            self.writer = None
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def scalar(self, tag: str, value, step: int):
+        v = float(value)
+        if self.writer is not None:
+            self.writer.add_scalar(tag, v, step)
+        self.jsonl.write(f'{{"step": {step}, "{tag}": {v}}}\n')
+
+    def image(self, tag: str, img_hwc: np.ndarray, step: int):
+        if self.writer is not None:
+            self.writer.add_image(tag, np.asarray(img_hwc), step,
+                                  dataformats="HWC")
+
+    def flush(self):
+        if self.writer is not None:
+            self.writer.flush()
+        self.jsonl.flush()
+
+
+def build_params(cfg: NSFFConfig, rng) -> Dict:
+    """Initialize the full parameter pytree (train.py:46-92)."""
+    keys = jax.random.split(rng, 4)
+    flow = cfg.output_transient_flow
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            keys[0], "fine",
+            in_channels_xyz=cfg.in_channels_xyz,
+            use_viewdir=cfg.use_viewdir,
+            in_channels_dir=cfg.in_channels_dir,
+            encode_appearance=cfg.encode_a, in_channels_a=cfg.N_a,
+            encode_transient=cfg.encode_t, in_channels_t=cfg.N_tau,
+            output_flow=len(flow) > 0)
+    }
+    if cfg.N_importance > 0:
+        params["nerf_coarse"] = nerf_m.init_nerf_params(
+            keys[1], "coarse",
+            in_channels_xyz=cfg.in_channels_xyz,
+            use_viewdir=cfg.use_viewdir,
+            in_channels_dir=cfg.in_channels_dir,
+            encode_transient=cfg.encode_t, in_channels_t=cfg.N_tau)
+    if cfg.encode_a:
+        params["embedding_a"] = nerf_m.init_embedding(keys[2], cfg.N_frames,
+                                                      cfg.N_a)
+    if cfg.encode_t:
+        params["embedding_t"] = nerf_m.init_embedding(keys[3], cfg.N_frames,
+                                                      cfg.N_tau)
+    return params
+
+
+def render_config(cfg: NSFFConfig) -> RenderConfig:
+    return RenderConfig(
+        N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+        perturb=cfg.perturb, noise_std=cfg.noise_std,
+        use_viewdir=cfg.use_viewdir, encode_a=cfg.encode_a,
+        encode_t=cfg.encode_t, flow_scale=cfg.flow_scale,
+        max_t=cfg.N_frames - 1,
+        N_emb_xyz=cfg.N_emb_xyz, S_emb_xyz=cfg.S_emb_xyz,
+        N_emb_dir=cfg.N_emb_dir, S_emb_dir=cfg.S_emb_dir,
+        img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype)
+
+
+class NSFFSystem:
+    """End-to-end training system."""
+
+    def __init__(self, cfg: NSFFConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        scene_cls = scene_dict[cfg.dataset_name]
+        kwargs = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh),
+                      start_end=tuple(cfg.start_end),
+                      cache_dir=cfg.cache_dir or None,
+                      hard_sampling=cfg.hard_sampling)
+        self.train_scene = scene_cls(split="train", **kwargs)
+        self.val_scene = scene_cls(split="val", **kwargs)
+        # frame count may have been clamped by available files
+        if self.train_scene.N_frames != cfg.N_frames:
+            cfg = cfg.replace(start_end=(cfg.start_end[0],
+                                         cfg.start_end[0]
+                                         + self.train_scene.N_frames))
+            self.cfg = cfg
+
+        self.steps_per_epoch = len(self.train_scene)
+        self.total_steps = self.steps_per_epoch * cfg.num_epochs
+
+        self.render_cfg = render_config(cfg)
+        self.loss_cfg = LossConfig(
+            lambda_geo_init=cfg.lambda_geo_init, thickness=cfg.thickness,
+            topk=cfg.topk, max_t=cfg.N_frames - 1)
+
+        # params (+ optional warm start, train.py:55-59,76-77,87-88)
+        self.rng, k = jax.random.split(self.rng)
+        params = build_params(cfg, k)
+        if cfg.weight_path:
+            loaded = self._load_weights(cfg.weight_path)
+            params = ckpt_lib.merge_params(params, loaded)
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        self.state = TrainState(params, self.tx.init(params),
+                                jnp.zeros((), jnp.int32))
+
+        # device-side data
+        self.batcher = RayBatcher(self.train_scene.rays, cfg.batch_size,
+                                  hard_sampling=cfg.hard_sampling)
+        self.scheduler = FrameScheduler(cfg.N_frames, seed=cfg.seed)
+        self.Ks = jnp.asarray(self.train_scene.Ks)
+        self.Ps = jnp.asarray(self.train_scene.Ps)
+
+        flow = tuple(cfg.output_transient_flow)
+        self.train_step = make_train_step(
+            self.render_cfg, self.loss_cfg, self.tx,
+            output_transient=cfg.output_transient,
+            output_transient_flow=flow,
+            steps_per_epoch=self.steps_per_epoch,
+            batch_size=cfg.batch_size,
+            hard_sampling=cfg.hard_sampling,
+            mesh=mesh)
+        self.val_render = make_render_fn(
+            self.render_cfg, test_time=True,
+            output_transient=cfg.output_transient,
+            output_transient_flow=(),
+            keys=("rgb_fine", "depth_fine", "transient_alpha_fine",
+                  "_static_rgb_fine", "_static_depth_fine"))
+
+        self.logger = TensorBoardLogger(
+            os.path.join(cfg.log_dir, cfg.exp_name))
+        self.ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+
+        if cfg.hard_sampling:
+            w, h = cfg.img_wh
+            self.tmp_rgb = jnp.zeros((cfg.N_frames, h * w, 3))
+
+        if cfg.ckpt_path:  # full resume (train.py:290)
+            self.restore(cfg.ckpt_path)
+
+    # ------------------------------------------------------------------
+    def _load_weights(self, path: str):
+        if path.endswith(".ckpt"):
+            return ckpt_lib.import_pl_checkpoint(
+                path, self.cfg.prefixes_to_ignore)
+        abstract = {"params": self.state.params} if hasattr(self, "state") \
+            else None
+        loaded = ckpt_lib.restore_checkpoint(path, abstract)
+        return loaded["params"]
+
+    def restore(self, path: str):
+        abstract = {"state": self.state,
+                    "sampling_weights": np.asarray(self.batcher.weights)}
+        restored = ckpt_lib.restore_checkpoint(path, abstract)
+        self.state = TrainState(*restored["state"])
+        self.batcher.weights = jnp.asarray(restored["sampling_weights"])
+
+    def save(self):
+        step = int(self.state.step)
+        return ckpt_lib.save_checkpoint(
+            self.ckpt_dir, step,
+            {"state": self.state,
+             "sampling_weights": np.asarray(self.batcher.weights)})
+
+    # ------------------------------------------------------------------
+    def fit(self, log_every: int = 50, progress: bool = True):
+        """The training loop (Trainer.fit, train.py:303)."""
+        cfg = self.cfg
+        start_step = int(self.state.step)
+        pending = []  # (step, metrics) — flushed every log_every steps
+        t0 = time.time()
+        for step in range(start_step, self.total_steps):
+            self.rng, k = jax.random.split(self.rng)
+            t = self.scheduler.next()
+            self.state, metrics, aux = self.train_step(
+                self.state, self.batcher.table, self.batcher.weights,
+                self.Ks, self.Ps, k, jnp.asarray(t))
+            if cfg.hard_sampling:
+                self.tmp_rgb = self.tmp_rgb.at[aux["t"], aux["rand_idx"]].set(
+                    aux["rgb_fine"])
+            pending.append((step, metrics))
+
+            if (step + 1) % log_every == 0 or step + 1 == self.total_steps:
+                for s, m in pending:
+                    for name, v in m.items():
+                        self.logger.scalar(f"train/{name}", float(v), s)
+                last = pending[-1][1]
+                if progress:
+                    dt = time.time() - t0
+                    rays_s = cfg.batch_size * len(pending) / max(dt, 1e-9)
+                    print(f"step {step+1}/{self.total_steps} "
+                          f"loss={float(last['loss']):.4f} "
+                          f"psnr={float(last['psnr']):.2f} "
+                          f"({rays_s:,.0f} rays/s)", flush=True)
+                pending.clear()
+                t0 = time.time()
+
+            if (step + 1) % self.steps_per_epoch == 0:
+                epoch = (step + 1) // self.steps_per_epoch
+                self.validate(epoch)
+                self.save()
+        self.logger.flush()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int) -> Dict[str, float]:
+        """Validation on the middle frame + TB image grids
+        (train.py:200-259)."""
+        cfg = self.cfg
+        w, h = cfg.img_wh
+        item = self.val_scene.test_item(0)
+        rays = jnp.asarray(item["rays"])
+        ts = jnp.asarray(item["ts"])
+        self.rng, k = jax.random.split(self.rng)
+        chunk = min(max(cfg.chunk // 4, 1024), rays.shape[0])
+        out = render_full_image(self.val_render, self.state.params, rays, ts,
+                                k, chunk=chunk)
+        step = int(self.state.step)
+
+        img = np.clip(np.asarray(out["rgb_fine"]).reshape(h, w, 3), 0, 1)
+        img_gt = np.asarray(item["rgbs"]).reshape(h, w, 3)
+        mask = np.asarray(item["mask"]).reshape(h, w)
+
+        rmse_map = np.sqrt(((img_gt - img) ** 2).mean(-1))
+        ssim_full = np.asarray(metrics_lib.ssim(
+            jnp.asarray(img_gt), jnp.asarray(img), reduction="none"))
+        ssim_pix = ssim_full.mean(-1)
+
+        log = {
+            "psnr": float(metrics_lib.psnr(jnp.asarray(img_gt),
+                                           jnp.asarray(img))),
+            "ssim": float(ssim_pix.mean()),
+        }
+        if cfg.output_transient and (mask == 0).any():
+            vm = jnp.asarray(mask == 0)
+            log["psnr_mask"] = float(metrics_lib.psnr(
+                jnp.asarray(img_gt), jnp.asarray(img), vm))
+            log["ssim_mask"] = float(ssim_pix[mask == 0].mean())
+
+        for name, v in log.items():
+            self.logger.scalar(f"val/{name}", v, step)
+
+        # decomposition grid (train.py:225-233)
+        imgs = [img_gt, img, viz.visualize_depth(
+            np.asarray(out["depth_fine"]).reshape(h, w))]
+        if cfg.output_transient:
+            imgs.append(viz.visualize_mask(
+                np.asarray(out["transient_alpha_fine"]).reshape(h, w)))
+            imgs.append(np.clip(
+                np.asarray(out["_static_rgb_fine"]).reshape(h, w, 3), 0, 1))
+            imgs.append(viz.visualize_depth(
+                np.asarray(out["_static_depth_fine"]).reshape(h, w)))
+        imgs.append(viz.visualize_mask(1 - mask))
+        imgs.append(viz.visualize_depth(-np.asarray(item["disp"]).reshape(h, w)))
+        self.logger.image("reconstruction/decomposition",
+                          viz.make_grid(imgs, nrow=3), step)
+        self.logger.image("error_map/rmse",
+                          viz.blend_images(img, viz.visualize_depth(-rmse_map),
+                                           0.5), step)
+        self.logger.image("error_map/ssim",
+                          viz.blend_images(img, viz.visualize_depth(-ssim_pix),
+                                           0.5), step)
+
+        # hard-sampling weight refresh from the training-render buffer
+        # (train.py:246-257): weight = 1 - SSIM(tmp_rgb, gt)
+        if cfg.hard_sampling:
+            gt_all = self.train_scene.rays[:, :, 6:9]  # (N, h*w, 3)
+            tmp = np.asarray(self.tmp_rgb)
+            for i in range(cfg.N_frames):
+                sm = np.asarray(metrics_lib.ssim(
+                    jnp.asarray(gt_all[i].reshape(h, w, 3)),
+                    jnp.asarray(np.clip(tmp[i].reshape(h, w, 3), 0, 1)),
+                    reduction="none")).mean(-1)
+                self.batcher.update_weights(i, (1 - sm).reshape(-1))
+            mid = cfg.N_frames // 2
+            blend = viz.blend_images(
+                np.clip(tmp[mid].reshape(h, w, 3), 0, 1),
+                viz.visualize_depth(-np.asarray(metrics_lib.ssim(
+                    jnp.asarray(gt_all[mid].reshape(h, w, 3)),
+                    jnp.asarray(np.clip(tmp[mid].reshape(h, w, 3), 0, 1)),
+                    reduction="none")).mean(-1)), 0.5)
+            self.logger.image("misc/moving_ssim", blend, step)
+
+        self.logger.flush()
+        print(f"epoch {epoch}: " + " ".join(
+            f"val/{k}={v:.4f}" for k, v in log.items()), flush=True)
+        return log
