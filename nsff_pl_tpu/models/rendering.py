@@ -327,3 +327,89 @@ def render_rays(
     xyz_fine = rays_o[:, None] + rays_d[:, None] * zs[..., None]
     inference(params["fine"], "fine", xyz_fine, zs, flow, k_fine)
     return results
+
+
+def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
+    """Space-time interpolation between two rendered frames t and t+1.
+
+    Re-design of the reference `interpolate` (`rendering.py:365-460`):
+    each depth sample forms an MPI plane; the transient planes of frame t
+    are forward-warped by their (dt-scaled, camera-projected) scene flow
+    with average-mode softmax splatting, frame t+1's planes backward-warped
+    by (1-dt), and the blended result is over-composited front-to-back with
+    the static planes. Where the reference loops planes on the GPU with
+    per-plane CPU<->GPU shipping (`rendering.py:439-449`), this vmaps the
+    splat over all planes and composes with one exclusive cumprod — a
+    single jit-friendly program that stays on device.
+
+    Inputs:
+        results_t / results_tp1: full-image render dicts (test_time=True,
+            output_transient_flow=('fw','bw')) with (h*w, S, .) entries
+        dt: float in (0, 1)
+        K: (3, 3) intrinsics; c2w: (3, 4) pose (same for both frames)
+        img_wh: (w, h)
+    Outputs:
+        rgb: (h, w, 3); depth: (h, w) in NDC
+    """
+    from nsff_pl_tpu.ops.softsplat import softsplat_batched
+
+    w, h = img_wh
+    xyzs = results_t["xyzs_fine"]  # (hw, S, 3)
+    n_rays, S = xyzs.shape[:2]
+    zs = results_t["zs_fine"].reshape(h, w, S)
+
+    # projection matrix ("right up back" -> "right down forward",
+    # rendering.py:390-394)
+    c2w4 = jnp.eye(4).at[:3].set(c2w)
+    w2c = jnp.linalg.inv(c2w4)[:3]
+    w2c = w2c * jnp.array([[1.0], [-1.0], [-1.0]])
+    P = jnp.asarray(K) @ w2c  # (3, 4)
+
+    grid = jnp.stack(jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                                  jnp.arange(h, dtype=jnp.float32)), -1)
+
+    def plane_flow(flows_3d, scale):
+        """3D scene flow -> per-plane 2D optical flow via projection
+        (rendering.py:404-414)."""
+        pts = xyzs.reshape(-1, 3)
+        xyzs_w = ray_ops.ndc2world(pts, K)
+        warped_w = ray_ops.ndc2world((xyzs + flows_3d).reshape(-1, 3), K)
+        warped_w = xyzs_w + scale * (warped_w - xyzs_w)
+        uvd = P[:, :3] @ warped_w.T + P[:, 3:]
+        uv = uvd[:2] / uvd[2]  # (2, hw*S)
+        uv = uv.reshape(2, h, w, S).transpose(3, 1, 2, 0)  # (S, h, w, 2)
+        return uv - grid
+
+    of_fw = plane_flow(results_t["transient_flows_fw"], dt)
+    of_bw = plane_flow(results_tp1["transient_flows_bw"], 1.0 - dt)
+
+    def planes(res):
+        rgba = jnp.concatenate(
+            [res["transient_rgbs_fine"],
+             res["transient_alphas_fine"][..., None]], -1)  # (hw, S, 4)
+        return rgba.reshape(h, w, S, 4).transpose(2, 0, 1, 3)  # (S, h, w, 4)
+
+    warped_fw = softsplat_batched(planes(results_t), of_fw, None, "average")
+    warped_bw = softsplat_batched(planes(results_tp1), of_bw, None, "average")
+
+    static_rgb = results_t["static_rgbs_fine"].reshape(h, w, S, 3) \
+        .transpose(2, 0, 1, 3)
+    static_a = results_t["static_alphas_fine"].reshape(h, w, S, 1) \
+        .transpose(2, 0, 1, 3)
+
+    # per-plane blend (rendering.py:450-455)
+    composed_rgb = (warped_fw[..., :3] * warped_fw[..., 3:] * (1 - dt)
+                    + warped_bw[..., :3] * warped_bw[..., 3:] * dt
+                    + static_rgb * static_a)
+    composed_a = 1.0 - (1.0 - (warped_fw[..., 3:] * (1 - dt)
+                               + warped_bw[..., 3:] * dt)) * (1.0 - static_a)
+    composed_a = composed_a[..., 0]  # (S, h, w)
+
+    # front-to-back over-compositing (rendering.py:456-458) as one
+    # exclusive cumprod over planes
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(composed_a[:1]),
+                         1.0 - composed_a[:-1]], 0), 0)  # (S, h, w)
+    rgb = jnp.sum(trans[..., None] * composed_rgb, 0)
+    depth = jnp.sum(trans * composed_a * zs.transpose(2, 0, 1), 0)
+    return rgb, depth

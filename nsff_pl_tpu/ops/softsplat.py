@@ -1,0 +1,116 @@
+"""Softmax splatting (forward warping) as a deterministic XLA scatter-add.
+
+TPU-native replacement for the reference's three raw CUDA kernels compiled
+via CuPy NVRTC (`models/softsplat.py:6-146,208-301`):
+
+- forward: bilinear scatter-add of each source pixel into the 4 integer
+  neighbors of (x + flow_x, y + flow_y) — the reference's
+  `kernel_Softsplat_updateOutput` (`softsplat.py:6-44`), expressed as 4
+  `jnp.at[].add(mode='drop')` scatters. TPU has no atomicAdd; XLA lowers
+  these to a deterministic sorted scatter, so results are bit-reproducible
+  (the CUDA version's float accumulation order is not — SURVEY.md §5).
+- gradients: the reference hand-writes the input gradient as a gather
+  (`softsplat.py:46-88`) and the flow gradient via d(bilinear)/d(flow)
+  (`softsplat.py:90-146`). Here both fall out of JAX autodiff: corner
+  indices go through floor+stop_gradient, bilinear weights stay
+  differentiable in flow, and the adjoint of scatter-add IS the weighted
+  gather. Verified against finite differences in tests/test_softsplat.py.
+
+Layout: (H, W, C) channels-last (the reference uses NCHW), batched via
+vmap where needed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def softsplat_sum(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Summation-mode splat: (H, W, C) image forward-warped by (H, W, 2)
+    flow (flow[..., 0] = x/col displacement, flow[..., 1] = y/row — the
+    reference's channel convention, `softsplat.py:19-20`)."""
+    H, W, C = image.shape
+    x = jnp.arange(W, dtype=flow.dtype)[None, :] + flow[..., 0]
+    y = jnp.arange(H, dtype=flow.dtype)[:, None] + flow[..., 1]
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    # integer corner indices are non-differentiable; weights below carry
+    # the flow gradient
+    x0 = jax.lax.stop_gradient(x0f).astype(jnp.int32)
+    y0 = jax.lax.stop_gradient(y0f).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+
+    # bilinear weights (differentiable in flow) — softsplat.py:27-30
+    wx1 = x - jax.lax.stop_gradient(x0f)  # fraction toward x1
+    wy1 = y - jax.lax.stop_gradient(y0f)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    out = jnp.zeros((H * W, C), image.dtype)
+    src = image.reshape(H * W, C)
+
+    def scatter(out, yi, xi, w):
+        idx = (yi * W + xi).reshape(H * W)
+        # out-of-bounds corners -> mode='drop' (softsplat.py:32-41 bounds
+        # checks); also force their index invalid so clipping can't alias
+        inside = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).reshape(H * W)
+        idx = jnp.where(inside, idx, H * W)  # one-past-end is dropped
+        return out.at[idx].add(src * w.reshape(H * W, 1), mode="drop")
+
+    out = scatter(out, y0, x0, wy0 * wx0)
+    out = scatter(out, y0, x1, wy0 * wx1)
+    out = scatter(out, y1, x0, wy1 * wx0)
+    out = scatter(out, y1, x1, wy1 * wx1)
+    return out.reshape(H, W, C)
+
+
+def softsplat(image: jnp.ndarray, flow: jnp.ndarray,
+              metric: Optional[jnp.ndarray] = None,
+              mode: str = "average", eps: float = 0.0) -> jnp.ndarray:
+    """Forward-warp `image` by `flow` — the reference's `FunctionSoftsplat`
+    wrapper (`softsplat.py:303-329`).
+
+    mode:
+        'summation' — raw scatter-add
+        'average'   — append a ones channel, divide by its splat
+        'linear'    — weight by `metric` (H, W, 1)
+        'softmax'   — weight by exp(metric) (Z-buffer style softmax splat)
+    Zero-weight output pixels keep 0 (the reference sets the normalizer to
+    1 where it is 0, `softsplat.py:320-322`).
+    """
+    if mode not in ("summation", "average", "linear", "softmax"):
+        raise ValueError(f"unknown splat mode {mode!r}")
+    if mode in ("linear", "softmax"):
+        if metric is None or metric.shape[-1] != 1:
+            raise ValueError("linear/softmax modes need a (H, W, 1) metric")
+
+    if mode == "summation":
+        return softsplat_sum(image, flow)
+
+    if mode == "average":
+        weighted = image
+        norm_src = jnp.ones_like(image[..., :1])
+    elif mode == "linear":
+        weighted = image * metric
+        norm_src = metric
+    else:  # softmax
+        m = jnp.exp(metric)
+        weighted = image * m
+        norm_src = m
+
+    out = softsplat_sum(jnp.concatenate([weighted, norm_src], -1), flow)
+    norm = out[..., -1:]
+    norm = jnp.where(norm == 0.0, 1.0, norm)
+    return out[..., :-1] / (norm + eps)
+
+
+def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
+                      metric: Optional[jnp.ndarray] = None,
+                      mode: str = "average") -> jnp.ndarray:
+    """vmap over a leading axis (e.g. the MPI sample planes in
+    `interpolate`): (S, H, W, C) x (S, H, W, 2) -> (S, H, W, C)."""
+    fn = lambda im, fl: softsplat(im, fl, metric, mode)  # noqa: E731
+    return jax.vmap(fn)(images, flows)
