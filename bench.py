@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark: NSFF training throughput (rays/sec/chip) on the kid-running
+workload shape.
+
+Measures the FULL training step — device-side batch gather, rendering with
+3-frame scene-flow warping (the fine MLP evaluated 3x per sample:
+current + fw-warped + bw-warped, `models/rendering.py:169-175,217-229` in
+the reference), all 8 loss terms, backward, Adam update — on a synthetic
+ray table with the kid-running geometry (30 frames x 512x288, N_samples
+128, no coarse model: the reference's headline recipe, README.md:227-234).
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md).
+We estimate an A100 running the reference PyTorch code at 15,000 rays/s:
+    per-ray cost ~= 128 samples x [static+transient fwd (2.2 MFLOP/pt)
+    + 2 warped transient fwds (2.0 MFLOP/pt)] x 3 (fwd+bwd) ~= 1.6 GFLOP
+    A100 TF32 w/ realistic ~15% MFU for chunked 32k-point batches
+    => ~15k rays/s. (2080Ti measured anecdotes are ~2-4k rays/s.)
+`vs_baseline` = ours / 15000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_A100_RAYS_PER_SEC = 15000.0
+
+
+def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.config import NSFFConfig
+    from nsff_pl_tpu.models import nerf as nerf_m
+    from nsff_pl_tpu.models.rendering import RenderConfig
+    from nsff_pl_tpu.training.loss import LossConfig
+    from nsff_pl_tpu.training.optim import make_optimizer
+    from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+    n_frames, w, h = 30, 512, 288
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=True, encode_appearance=False,
+            encode_transient=True, in_channels_t=48, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], n_frames, 48),
+    }
+    rcfg = RenderConfig(N_samples=n_samples, N_importance=0, perturb=1.0,
+                        noise_std=1.0, use_viewdir=True, encode_a=False,
+                        encode_t=True, max_t=n_frames - 1, img_wh=(w, h),
+                        compute_dtype=dtype)
+    # tiny lr: the synthetic random table makes the flow losses huge, and
+    # the reference lr diverges to NaN within ~20 steps; NaN params change
+    # kernel timing, so keep the numerics sane for the benchmark
+    ncfg = NSFFConfig(optimizer="adam", lr=1e-6, lr_scheduler="cosine",
+                      num_epochs=50)
+    steps_per_epoch = w * h * n_frames // 1000
+    tx = make_optimizer(ncfg, steps_per_epoch)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    rng = np.random.RandomState(0)
+    table = rng.rand(n_frames, w * h, 16).astype(np.float32)
+    # NDC-like rays (o_z ~= -1, d_z = 1 - o_z as get_ndc_rays produces for
+    # a camera at the near plane) so xyz_z stays in [-1, 1]; fully random
+    # rays put samples at xyz_z ~= 1 where ndc2world's 1/(z-1) blows up and
+    # inf*exp(-inf) => NaN in the smoothness loss
+    table[..., 0:2] = table[..., 0:2] * 2 - 1  # o_xy in [-1, 1]
+    table[..., 2] = -1.0 + 0.1 * table[..., 2]  # o_z in [-1, -0.9]
+    table[..., 3:5] = (table[..., 3:5] - 0.5) * 0.4  # d_xy small
+    table[..., 5] = 1.0 - table[..., 2]  # d_z = 1 - o_z
+    table[..., 9] = np.arange(n_frames, dtype=np.float32)[:, None]
+    f = 500.0 * w / 960
+    Ks = np.array([[[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]]], np.float32)
+    Ps = np.tile(np.eye(3, 4, dtype=np.float32), (1, n_frames, 1, 1))
+
+    step = make_train_step(
+        rcfg, LossConfig(max_t=n_frames - 1), tx,
+        output_transient=True, output_transient_flow=("fw", "bw", "disocc"),
+        steps_per_epoch=steps_per_epoch, batch_size=batch_size)
+    return step, state, (jnp.asarray(table),
+                         jnp.ones((n_frames, w * h), jnp.float32),
+                         jnp.asarray(Ks), jnp.asarray(Ps))
+
+
+def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16"):
+    """Chained-step throughput. NOTE: on the tunneled (axon) backend
+    `block_until_ready` does not reliably await remote execution — a value
+    fetch does. We force completion by pulling the final loss, so the
+    measurement covers all `iters` chained steps + one scalar round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    step, state, (table, weights, Ks, Ps) = build(batch_size, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile (forced)
+    state, m, _ = step(state, table, weights, Ks, Ps, key, jnp.asarray(0))
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, m, _ = step(state, table, weights, Ks, Ps, k,
+                           jnp.asarray(i % 30))
+    loss = float(m["loss"])  # forces the whole chain
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt, loss
+
+
+def main():
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    best = 0.0
+    best_cfg = None
+    for bs in (512, 2048, 8192):
+        try:
+            rays_s, loss = measure(bs)
+            print(f"# batch={bs}: {rays_s:,.0f} rays/s (loss {loss:.3f})",
+                  flush=True)
+            if rays_s > best:
+                best, best_cfg = rays_s, bs
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch={bs} failed: {type(e).__name__}", flush=True)
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": f"rays/s (full NSFF train step, batch={best_cfg}, "
+                f"N_samples=128, bf16 matmuls)",
+        "vs_baseline": round(best / BASELINE_A100_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
