@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4): the sharded train step must run AND match the unsharded
+step numerically (batch-global loss statistics need collectives — the
+SURVEY.md §5 caution)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsff_pl_tpu.config import NSFFConfig
+from nsff_pl_tpu.models import nerf as nerf_m
+from nsff_pl_tpu.models.rendering import RenderConfig
+from nsff_pl_tpu.parallel import make_mesh
+from nsff_pl_tpu.training.loss import LossConfig
+from nsff_pl_tpu.training.optim import make_optimizer
+from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+
+def _setup(batch_size):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 2)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=False, encode_transient=True,
+            in_channels_t=16, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], 4, 16),
+    }
+    rcfg = RenderConfig(N_samples=8, use_viewdir=False, encode_t=True,
+                        max_t=3, img_wh=(16, 12))
+    tx = make_optimizer(NSFFConfig(lr_scheduler="cosine", num_epochs=2), 10)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    rng = np.random.RandomState(0)
+    table = rng.rand(4, 128, 16).astype(np.float32)
+    table[..., 2] = -1.0
+    table[..., 5] = 2.0
+    table[..., 9] = np.arange(4, dtype=np.float32)[:, None]
+    Ks = np.array([[[20.0, 0, 8], [0, 20, 6], [0, 0, 1]]], np.float32)
+    Ps = np.tile(np.eye(3, 4, dtype=np.float32), (1, 4, 1, 1))
+    return state, tx, rcfg, (jnp.asarray(table),
+                             jnp.ones((4, 128), jnp.float32),
+                             jnp.asarray(Ks), jnp.asarray(Ps))
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_step_matches_unsharded(n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    batch_size = 32
+    flow = ("fw", "bw", "disocc")
+
+    def run(mesh):
+        state, tx, rcfg, data = _setup(batch_size)
+        step = make_train_step(
+            rcfg, LossConfig(max_t=3), tx, output_transient=True,
+            output_transient_flow=flow, steps_per_epoch=10,
+            batch_size=batch_size, mesh=mesh, donate=False)
+        state, metrics, _ = step(state, *data, jax.random.PRNGKey(3),
+                                 jnp.asarray(1))
+        return state, metrics
+
+    state_1, m_1 = run(None)
+    state_n, m_n = run(make_mesh(n_devices))
+
+    np.testing.assert_allclose(float(m_n["loss"]), float(m_1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_n["psnr"]), float(m_1["psnr"]),
+                               rtol=1e-4)
+    # updated parameters identical across sharding configurations
+    w1 = np.asarray(state_1.params["nerf_fine"]["static_xyz_0"]["w"])
+    wn = np.asarray(state_n.params["nerf_fine"]["static_xyz_0"]["w"])
+    np.testing.assert_allclose(wn, w1, atol=1e-5)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(8, len(jax.devices())))
