@@ -51,6 +51,10 @@ class RenderConfig:
     S_emb_dir: float = 3.0
     img_wh: Tuple[int, int] = (512, 288)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # rematerialize MLP activations in backward (trade FLOPs for HBM
+    # bandwidth). Measured a wash at batch 512 and a LOSS at batch 2048 on
+    # v5e with the XLA path, so default off; revisit with Pallas kernels.
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -123,6 +127,9 @@ def render_rays(
     else:
         a_embedded = None
 
+    def _maybe_remat(fn):
+        return jax.checkpoint(fn) if cfg.remat and not test_time else fn
+
     def inference(model_params, typ, xyz, zs, flow, k_inf):
         """One field evaluation + compositing pass (`rendering.py:83-300`)."""
         n_samples_ = xyz.shape[1]
@@ -150,16 +157,21 @@ def render_rays(
                 transient_sigmas_raw = tr["sigma"]
                 transient_rgbs = None
         else:
-            static_rgbs, static_sigmas_raw = nerf_m.static_forward(
-                model_params, xyz_emb, dir_emb_, a_emb_,
-                use_viewdir=cfg.use_viewdir, compute_dtype=cfg.dtype)
+            static_rgbs, static_sigmas_raw = _maybe_remat(
+                lambda p, xe, de, ae: nerf_m.static_forward(
+                    p, xe, de, ae, use_viewdir=cfg.use_viewdir,
+                    compute_dtype=cfg.dtype))(
+                model_params, xyz_emb, dir_emb_, a_emb_)
             results[f"static_rgbs_{typ}"] = static_rgbs
             if output_transient:
                 this_flow = flow if typ == "fine" else ()
-                tr = nerf_m.transient_forward(
-                    model_params, xyz_emb, t_emb_,
-                    output_flow=tuple(f for f in this_flow if f in ("fw", "bw")),
-                    flow_scale=cfg.flow_scale, compute_dtype=cfg.dtype)
+                tr = _maybe_remat(
+                    lambda p, xe, te: nerf_m.transient_forward(
+                        p, xe, te,
+                        output_flow=tuple(f for f in this_flow
+                                          if f in ("fw", "bw")),
+                        flow_scale=cfg.flow_scale, compute_dtype=cfg.dtype))(
+                    model_params, xyz_emb, t_emb_)
                 transient_rgbs, transient_sigmas_raw = tr["rgb"], tr["sigma"]
                 results[f"transient_rgbs_{typ}"] = transient_rgbs
                 if "fw" in this_flow:
@@ -204,15 +216,20 @@ def render_rays(
                 def warp(xyz_w_pts, t_shift, which_flow, k_w):
                     """`render_transient_warping` (`rendering.py:98-140`):
                     evaluate the transient field at warped points/time and
-                    composite against the CURRENT static field."""
+                    composite against the CURRENT static field. (Batching
+                    the two warps into one double-row call was measured
+                    SLOWER on v5e: the concats materialize what these
+                    broadcasts let XLA fuse.)"""
                     ts_shift = jnp.clip(ts + t_shift, 0, cfg.max_t)
                     t_emb_w = _expand(
                         nerf_m.embedding_lookup(embeddings["t"], ts_shift),
                         n_samples_)
-                    tr_w = nerf_m.transient_forward(
-                        model_params, _embed_xyz(cfg, xyz_w_pts), t_emb_w,
-                        output_flow=(which_flow,), flow_scale=cfg.flow_scale,
-                        compute_dtype=cfg.dtype)
+                    tr_w = _maybe_remat(
+                        lambda p, xe, te: nerf_m.transient_forward(
+                            p, xe, te, output_flow=(which_flow,),
+                            flow_scale=cfg.flow_scale,
+                            compute_dtype=cfg.dtype))(
+                        model_params, _embed_xyz(cfg, xyz_w_pts), t_emb_w)
                     flows_w = jnp.where((zs > Z_FAR)[..., None], 0.0,
                                         tr_w[f"flow_{which_flow}"])
                     noise_w = (jax.random.normal(k_w, tr_w["sigma"].shape)
