@@ -55,6 +55,12 @@ class RenderConfig:
     # bandwidth). Measured a wash at batch 512 and a LOSS at batch 2048 on
     # v5e with the XLA path, so default off; revisit with Pallas kernels.
     remat: bool = False
+    # 'xla' | 'pallas' — evaluation backend for the no-grad (test-time)
+    # path. The fused Pallas kernel (ops/mlp_kernel.py) is numerically
+    # verified; as of v5e round 1 it is NOT yet faster than XLA's fusion
+    # (misaligned 63/111/319-wide contractions need padded layouts), so
+    # XLA stays the default.
+    mlp_backend: str = "xla"
 
     @property
     def dtype(self):
@@ -144,7 +150,42 @@ def render_rays(
         t_emb_ = _expand(t_embedded, n_samples_) if output_transient else None
 
         sigma_only = typ == "coarse" and test_time
-        if sigma_only:
+        use_pallas = (cfg.mlp_backend == "pallas" and test_time
+                      and not sigma_only)
+        if use_pallas:
+            # fused posenc+dual-tower Pallas kernel (ops/mlp_kernel.py)
+            from nsff_pl_tpu.ops import mlp_kernel as mk
+
+            this_flow = tuple(f for f in (flow if typ == "fine" else ())
+                              if f in ("fw", "bw"))
+            has_a = a_embedded is not None and typ == "fine"
+            fused = mk.make_fused_nerf_eval(
+                n_samples_, use_viewdir=cfg.use_viewdir, encode_a=has_a,
+                encode_t=output_transient, output_flow=this_flow,
+                n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+                flow_scale=cfg.flow_scale)
+            packed = fused(model_params, xyz,
+                           dir_emb=dir_embedded if cfg.use_viewdir else None,
+                           a_emb=a_embedded if has_a else None,
+                           t_emb=t_embedded if output_transient else None)
+            un = mk.unpack_fused(packed, encode_t=output_transient,
+                                 output_flow=this_flow)
+            static_rgbs = un["static_rgbs"]
+            static_sigmas_raw = un["static_sigmas_raw"]
+            results[f"static_rgbs_{typ}"] = static_rgbs
+            if output_transient:
+                transient_rgbs = un["transient_rgbs"]
+                transient_sigmas_raw = un["transient_sigmas_raw"]
+                results[f"transient_rgbs_{typ}"] = transient_rgbs
+                if "fw" in this_flow:
+                    far_mask = (zs > Z_FAR)[..., None]
+                    transient_flows_fw = jnp.where(
+                        far_mask, 0.0, un["transient_flows_fw"])
+                    transient_flows_bw = jnp.where(
+                        far_mask, 0.0, un["transient_flows_bw"])
+                    results["transient_flows_fw"] = transient_flows_fw
+                    results["transient_flows_bw"] = transient_flows_bw
+        elif sigma_only:
             # coarse pass at test time only needs sigmas (`rendering.py:151-162`)
             static_sigmas_raw = nerf_m.static_forward(
                 model_params, xyz_emb, sigma_only=True,

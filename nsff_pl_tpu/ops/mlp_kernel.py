@@ -1,0 +1,241 @@
+"""Fused NeRF evaluation as a Pallas TPU kernel.
+
+One kernel evaluates, for a block of sample points held entirely in VMEM:
+    positional encoding -> static 8x256 tower (+viewdir head) ->
+    transient 8x256 tower -> sigma/rgb/flow heads
+and writes one packed (rows, 16) output — the reference's packed layout
+(`models/nerf.py:210-213`): [static_rgb(3), static_sigma(1),
+transient_rgb(3), transient_sigma(1), flow_fw(3), flow_bw(3), pad(2)].
+
+Why a kernel at all: the XLA path writes every layer's (R, 256)
+activations to HBM between matmuls; here the whole tower runs out of VMEM
+— only xyz (R, 3) and the per-ray conditioning vectors stream in, and 16
+floats per row stream out. Weights (~1.2M params, bf16) are resident in
+VMEM across the grid.
+
+Used on the no-grad paths (test-time rendering / eval CLI). Training
+keeps the XLA path (its backward is autodiff'd); a Pallas backward is the
+planned follow-up.
+
+Block geometry: rows are (ray, sample)-ordered; the block spans
+`rays_per_blk = BLK // n_samples` whole rays so per-ray conditioning
+(dir/appearance/time embeddings) loads as a small (rays_per_blk, C) tile
+and broadcasts to samples inside VMEM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsff_pl_tpu.models import nerf as nerf_m
+from nsff_pl_tpu.ops.posenc import posenc_freqs
+
+DEFAULT_BLOCK_ROWS = 2048
+
+
+def _posenc_block(x, freqs):
+    """In-kernel positional encoding: (B, 3) -> (B, 3 + 6*n_freqs) with the
+    reference channel order [x, sin(f0 x), cos(f0 x), ...]."""
+    parts = [x]
+    for f in freqs:  # unrolled: n_freqs is static
+        xf = x * f
+        parts.append(jnp.sin(xf))
+        parts.append(jnp.cos(xf))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _mm(x, w, b):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+
+
+def make_fused_nerf_eval(
+    n_samples: int,
+    *,
+    use_viewdir: bool,
+    encode_a: bool,
+    encode_t: bool,
+    output_flow: Tuple[str, ...],
+    n_emb_xyz: int = 10,
+    s_emb_xyz: float = 9.0,
+    flow_scale: float = 0.2,
+    D: int = 8,
+    skips=(4,),
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Build the fused evaluator.
+
+    Returns fn(params, xyz, dir_emb, a_emb, t_emb) -> (N, S, 16) where
+    xyz is (N, S, 3) and the conditioning embeddings are per-ray (N, C).
+    """
+    freqs = tuple(float(f) for f in posenc_freqs(s_emb_xyz, n_emb_xyz))
+    if block_rows % n_samples != 0:
+        # block must cover whole rays
+        block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
+    rays_per_blk = block_rows // n_samples
+
+    static_names = [f"static_xyz_{i}" for i in range(D)] + \
+        ["static_xyz_final"] + (["static_dir"] if use_viewdir else []) + \
+        ["static_sigma", "static_rgb"]
+    transient_names = ([f"transient_xyz_{i}" for i in range(D)]
+                       + ["transient_xyz_final", "transient_sigma",
+                          "transient_rgb"]
+                       + (["transient_flow_fw"] if "fw" in output_flow else [])
+                       + (["transient_flow_bw"] if "bw" in output_flow else [])
+                       ) if encode_t else []
+    weight_names = static_names + transient_names
+
+    def kernel(*refs):
+        # refs: xyz, dir_emb?, a_emb?, t_emb?, (w, b) per weight, out
+        it = iter(refs)
+        xyz_ref = next(it)
+        dir_ref = next(it) if use_viewdir else None
+        a_ref = next(it) if encode_a else None
+        t_ref = next(it) if encode_t else None
+        wb = {}
+        for name in weight_names:
+            w = next(it)
+            b = next(it)
+            wb[name] = (w[...], b[...][0])  # b passed as (1, C)
+        out_ref = next(it)
+
+        x = xyz_ref[...]  # (BLK, 3) f32
+        xyz_emb = _posenc_block(x, freqs).astype(jnp.bfloat16)  # (BLK, 63)
+
+        def bcast(ref):
+            """(rays_per_blk, C) -> (BLK, C) per-sample broadcast."""
+            v = ref[...]
+            v = jnp.broadcast_to(v[:, None, :],
+                                 (rays_per_blk, n_samples, v.shape[-1]))
+            return v.reshape(block_rows, v.shape[-1])
+
+        def tower(prefix, inp):
+            h = inp
+            for i in range(D):
+                if i in skips:
+                    h = jnp.concatenate([inp, h], -1)
+                w, b = wb[f"{prefix}_{i}"]
+                h = jnp.maximum(_mm(h, w, b), 0.0).astype(jnp.bfloat16)
+            return h
+
+        # ---- static branch ----
+        h = tower("static_xyz", xyz_emb)
+        w, b = wb["static_sigma"]
+        static_sigma = _mm(h, w, b)  # (BLK, 1) f32
+        w, b = wb["static_xyz_final"]
+        feat = _mm(h, w, b).astype(jnp.bfloat16)
+        if use_viewdir:
+            parts = [feat, bcast(dir_ref).astype(jnp.bfloat16)]
+            if encode_a:
+                parts.append(bcast(a_ref).astype(jnp.bfloat16))
+            w, b = wb["static_dir"]
+            feat = jnp.maximum(
+                _mm(jnp.concatenate(parts, -1), w, b), 0.0
+            ).astype(jnp.bfloat16)
+        w, b = wb["static_rgb"]
+        static_rgb = jax.nn.sigmoid(_mm(feat, w, b))  # (BLK, 3) f32
+
+        cols = [static_rgb, static_sigma]
+
+        # ---- transient branch ----
+        if encode_t:
+            t_emb = bcast(t_ref).astype(jnp.bfloat16)
+            h = tower("transient_xyz", jnp.concatenate([xyz_emb, t_emb], -1))
+            w, b = wb["transient_xyz_final"]
+            feat = _mm(h, w, b)
+            featb = feat.astype(jnp.bfloat16)
+            w, b = wb["transient_sigma"]
+            tr_sigma = _mm(featb, w, b)
+            w, b = wb["transient_rgb"]
+            tr_rgb = jax.nn.sigmoid(_mm(featb, w, b))
+            cols += [tr_rgb, tr_sigma]
+            if "fw" in output_flow:
+                w, b = wb["transient_flow_fw"]
+                cols.append(flow_scale * jnp.tanh(_mm(featb, w, b)))
+            if "bw" in output_flow:
+                w, b = wb["transient_flow_bw"]
+                cols.append(flow_scale * jnp.tanh(_mm(featb, w, b)))
+
+        packed = jnp.concatenate(cols, -1)
+        pad = 16 - packed.shape[-1]
+        if pad > 0:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((block_rows, pad), jnp.float32)], -1)
+        out_ref[...] = packed
+
+    def fused(params, xyz, dir_emb=None, a_emb=None, t_emb=None):
+        n, s = xyz.shape[0], xyz.shape[1]
+        assert s == n_samples, f"kernel built for S={n_samples}, got {s}"
+        rows = n * s
+        n_pad_rays = (-n) % rays_per_blk
+        if n_pad_rays:  # pad to whole blocks
+            padr = lambda v: jnp.concatenate(  # noqa: E731
+                [v, jnp.broadcast_to(v[-1:], (n_pad_rays,) + v.shape[1:])], 0)
+            xyz = padr(xyz)
+            dir_emb = padr(dir_emb) if dir_emb is not None else None
+            a_emb = padr(a_emb) if a_emb is not None else None
+            t_emb = padr(t_emb) if t_emb is not None else None
+            rows = (n + n_pad_rays) * s
+        n_blocks = rows // block_rows
+
+        xyz_flat = xyz.reshape(rows, 3)
+
+        in_specs = [pl.BlockSpec((block_rows, 3), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        args = [xyz_flat]
+        ray_spec = lambda c: pl.BlockSpec(  # noqa: E731
+            (rays_per_blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if use_viewdir:
+            in_specs.append(ray_spec(dir_emb.shape[-1]))
+            args.append(dir_emb)
+        if encode_a:
+            in_specs.append(ray_spec(a_emb.shape[-1]))
+            args.append(a_emb)
+        if encode_t:
+            in_specs.append(ray_spec(t_emb.shape[-1]))
+            args.append(t_emb)
+
+        for name in weight_names:
+            w = params[name]["w"].astype(jnp.bfloat16)
+            b = params[name]["b"].astype(jnp.float32)[None]  # (1, C)
+            in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args += [w, b]
+
+        interpret = jax.default_backend() == "cpu"  # tests run interpreted
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_rows, 16), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 16), jnp.float32),
+            interpret=interpret,
+        )(*args)
+        out = out.reshape(-1, s, 16)
+        return out[:n]
+
+    return fused
+
+
+def unpack_fused(out, *, encode_t: bool, output_flow: Tuple[str, ...]):
+    """Split the packed (N, S, 16) kernel output into the renderer's
+    quantities (mirrors `rendering.py:179-186`)."""
+    res = {"static_rgbs": out[..., 0:3], "static_sigmas_raw": out[..., 3]}
+    if encode_t:
+        res["transient_rgbs"] = out[..., 4:7]
+        res["transient_sigmas_raw"] = out[..., 7]
+        c = 8
+        if "fw" in output_flow:
+            res["transient_flows_fw"] = out[..., c:c + 3]
+            c += 3
+        if "bw" in output_flow:
+            res["transient_flows_bw"] = out[..., c:c + 3]
+    return res

@@ -107,7 +107,8 @@ def render_config(cfg: NSFFConfig) -> RenderConfig:
         max_t=cfg.N_frames - 1,
         N_emb_xyz=cfg.N_emb_xyz, S_emb_xyz=cfg.S_emb_xyz,
         N_emb_dir=cfg.N_emb_dir, S_emb_dir=cfg.S_emb_dir,
-        img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype)
+        img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype,
+        mlp_backend=cfg.mlp_backend)
 
 
 class NSFFSystem:
