@@ -232,18 +232,29 @@ class MonocularScene:
             if os.path.exists(cache_file):
                 return np.load(cache_file, mmap_mode=None)
 
+        from nsff_pl_tpu.scene import native
+
         w, h = self.img_wh
+        use_native = native.available()
         tables = []
         for t in range(self.N_frames):
-            rays_o, rays_d, uv = self._frame_rays(self.poses[t])
-            img = _imread_rgb(self.image_paths[t], self.img_wh).reshape(-1, 3)
-            disp = _imread_disp(self.disp_paths[t], self.img_wh).reshape(-1, 1)
-            mask = _imread_gray(self.mask_paths[t], self.img_wh).reshape(-1, 1)
+            img = _imread_rgb(self.image_paths[t], self.img_wh)
+            disp = _imread_disp(self.disp_paths[t], self.img_wh)
+            mask = _imread_gray(self.mask_paths[t], self.img_wh)
             flow_fw, flow_bw = self._read_flow_pair(t)
-            rays_t = np.full((w * h, 1), t, np.float32)
-            tables.append(np.concatenate(
-                [rays_o, rays_d, img, rays_t, disp, mask,
-                 uv + flow_fw, uv + flow_bw], 1).astype(np.float32))
+            if use_native:
+                shift_near = -min(-1.0, float(self.poses[t, 2, 3]))
+                tables.append(native.build_frame_rays(
+                    self.K, self.poses[t], img, disp, mask,
+                    flow_fw.reshape(h, w, 2), flow_bw.reshape(h, w, 2),
+                    t, 1.0, shift_near))
+            else:
+                rays_o, rays_d, uv = self._frame_rays(self.poses[t])
+                rays_t = np.full((w * h, 1), t, np.float32)
+                tables.append(np.concatenate(
+                    [rays_o, rays_d, img.reshape(-1, 3), rays_t,
+                     disp.reshape(-1, 1), mask.reshape(-1, 1),
+                     uv + flow_fw, uv + flow_bw], 1).astype(np.float32))
         table = np.stack(tables, 0)
 
         if self.cache_dir:
