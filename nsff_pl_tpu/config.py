@@ -82,6 +82,7 @@ class NSFFConfig:
     log_dir: str = "logs"
     ckpt_dir: str = "ckpts"
     val_every_steps: int = 0  # 0 => validate once per epoch (reference behavior)
+    profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
 
     # ------------------------------------------------------------------
     @property
@@ -203,6 +204,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of steps 10-15 "
+                             "into this directory (view in TensorBoard)")
     return parser
 
 

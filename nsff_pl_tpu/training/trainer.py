@@ -216,7 +216,17 @@ class NSFFSystem:
         start_step = int(self.state.step)
         pending = []  # (step, metrics) — flushed every log_every steps
         t0 = time.time()
+        profiling = False
         for step in range(start_step, self.total_steps):
+            if cfg.profile_dir:  # jax.profiler trace of steps 10-15
+                if step == start_step + 10 and not profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif step == start_step + 15 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profile trace written to {cfg.profile_dir}",
+                          flush=True)
             self.rng, k = jax.random.split(self.rng)
             t = self.scheduler.next()
             self.state, metrics, aux = self.train_step(
@@ -246,6 +256,8 @@ class NSFFSystem:
                 epoch = (step + 1) // self.steps_per_epoch
                 self.validate(epoch)
                 self.save()
+        if profiling:  # loop shorter than the trace window
+            jax.profiler.stop_trace()
         self.logger.flush()
         return self.state
 

@@ -1,0 +1,68 @@
+"""End-to-end training smoke test: the full NSFFSystem on a synthetic
+scene must run, learn (PSNR improves on a learnable target), checkpoint,
+and resume (SURVEY.md §4 'integration tests mirroring BASELINE configs')."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.helpers_scene import make_synthetic_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    make_synthetic_scene(root, W=32, H=24, N=3, seed=0)
+    # overwrite images with a smooth learnable target (vertical gradient)
+    from PIL import Image
+
+    H, W = 24, 32
+    grad = np.linspace(0, 255, H)[:, None, None]
+    img = np.broadcast_to(grad, (H, W, 3)).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(img).save(f"{root}/images/{i:05d}.png")
+    return root
+
+
+def _cfg(scene, tmp, **kw):
+    from nsff_pl_tpu.config import NSFFConfig
+
+    base = dict(root_dir=scene, img_wh=(32, 24), start_end=(0, 3),
+                N_samples=8, batch_size=64, num_epochs=25, lr=5e-3,
+                lr_scheduler="const", exp_name="e2e",
+                log_dir=os.path.join(tmp, "logs"),
+                ckpt_dir=os.path.join(tmp, "ckpts"))
+    base.update(kw)
+    return NSFFConfig(**base)
+
+
+def test_static_training_learns(scene, tmp_path):
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    sys_ = NSFFSystem(_cfg(scene, str(tmp_path)))
+    log0 = sys_.validate(0)
+    sys_.fit(log_every=1000, progress=False)
+    log1 = sys_.validate(99)
+    # a constant-gradient image is trivially learnable: PSNR must improve
+    assert log1["psnr"] > log0["psnr"] + 1.0
+    # checkpoints written
+    assert os.path.isdir(os.path.join(str(tmp_path), "ckpts", "e2e"))
+
+
+def test_full_nsff_training_runs(scene, tmp_path):
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, use_viewdir=True,
+               num_epochs=1, exp_name="e2e_full")
+    sys_ = NSFFSystem(cfg)
+    state = sys_.fit(log_every=1000, progress=False)
+    assert int(state.step) == sys_.steps_per_epoch
+    # resume continues from the checkpoint
+    cfg2 = cfg.replace(num_epochs=2,
+                       ckpt_path=os.path.join(str(tmp_path), "ckpts",
+                                              "e2e_full",
+                                              f"step_{int(state.step)}"))
+    sys2 = NSFFSystem(cfg2)
+    assert int(sys2.state.step) == sys_.steps_per_epoch
+    state2 = sys2.fit(log_every=1000, progress=False)
+    assert int(state2.step) == 2 * sys_.steps_per_epoch
