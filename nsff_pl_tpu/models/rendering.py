@@ -49,6 +49,8 @@ class RenderConfig:
     S_emb_xyz: float = 9.0
     N_emb_dir: int = 4
     S_emb_dir: float = 3.0
+    N_tau: int = 48
+    N_a: int = 48
     img_wh: Tuple[int, int] = (512, 288)
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # rematerialize MLP activations in backward (trade FLOPs for HBM
@@ -58,8 +60,9 @@ class RenderConfig:
     # 'xla' | 'pallas' — evaluation backend for the no-grad (test-time)
     # path. The fused Pallas kernel (ops/mlp_kernel.py) is numerically
     # verified; as of v5e round 1 it is NOT yet faster than XLA's fusion
-    # (misaligned 63/111/319-wide contractions need padded layouts), so
-    # XLA stays the default.
+    # (4.6 vs 2.2 ms / 65k pts; 128-padded contractions were measured to
+    # recover only ~8% — the remaining gap is per-grid-step weight DMA,
+    # which needs weight-stationary scratch residency). XLA stays default.
     mlp_backend: str = "xla"
 
     @property
@@ -163,6 +166,7 @@ def render_rays(
                 n_samples_, use_viewdir=cfg.use_viewdir, encode_a=has_a,
                 encode_t=output_transient, output_flow=this_flow,
                 n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+                n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
                 flow_scale=cfg.flow_scale)
             packed = fused(model_params, xyz,
                            dir_emb=dir_embedded if cfg.use_viewdir else None,

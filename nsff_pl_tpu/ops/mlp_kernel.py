@@ -38,20 +38,38 @@ from nsff_pl_tpu.ops.posenc import posenc_freqs
 
 DEFAULT_BLOCK_ROWS = 2048
 
+# lane-aligned segment widths: every contraction K is a multiple of 128
+SEG = 128
 
-def _posenc_block(x, freqs):
+
+def _posenc_block(x, freqs, pad_to: int = 0):
     """In-kernel positional encoding: (B, 3) -> (B, 3 + 6*n_freqs) with the
-    reference channel order [x, sin(f0 x), cos(f0 x), ...]."""
+    reference channel order [x, sin(f0 x), cos(f0 x), ...]; zero-padded to
+    `pad_to` columns for MXU lane alignment."""
     parts = [x]
     for f in freqs:  # unrolled: n_freqs is static
         xf = x * f
         parts.append(jnp.sin(xf))
         parts.append(jnp.cos(xf))
-    return jnp.concatenate(parts, axis=-1)
+    out = jnp.concatenate(parts, axis=-1)
+    if pad_to > out.shape[-1]:
+        out = jnp.concatenate(
+            [out, jnp.zeros((x.shape[0], pad_to - out.shape[-1]), x.dtype)],
+            -1)
+    return out
 
 
 def _mm(x, w, b):
     return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+
+
+def _pad_rows(w: jnp.ndarray, layout, total: int) -> jnp.ndarray:
+    """Re-lay a (K, N) weight so each logical input segment starts at an
+    aligned row offset. `layout` = [((src0, src1), dst0), ...]."""
+    out = jnp.zeros((total, w.shape[1]), w.dtype)
+    for (s0, s1), d in layout:
+        out = out.at[d:d + (s1 - s0)].set(w[s0:s1])
+    return out
 
 
 def make_fused_nerf_eval(
@@ -63,10 +81,14 @@ def make_fused_nerf_eval(
     output_flow: Tuple[str, ...],
     n_emb_xyz: int = 10,
     s_emb_xyz: float = 9.0,
+    n_emb_dir: int = 4,
+    n_a: int = 48,
+    n_tau: int = 48,
     flow_scale: float = 0.2,
     D: int = 8,
     skips=(4,),
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    padded: bool = True,
 ):
     """Build the fused evaluator.
 
@@ -74,6 +96,12 @@ def make_fused_nerf_eval(
     xyz is (N, S, 3) and the conditioning embeddings are per-ray (N, C).
     """
     freqs = tuple(float(f) for f in posenc_freqs(s_emb_xyz, n_emb_xyz))
+    xyz_w = 3 + 6 * n_emb_xyz  # 63
+    dir_w = 3 + 6 * n_emb_dir  # 27
+    # padded segment widths (lane-aligned contractions); fall back to the
+    # unpadded layout when a segment would not fit its 128 slot
+    if padded and (xyz_w > SEG or (encode_t and xyz_w + n_tau > SEG)):
+        padded = False
     if block_rows % n_samples != 0:
         # block must cover whole rays
         block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
@@ -106,6 +134,20 @@ def make_fused_nerf_eval(
 
         x = xyz_ref[...]  # (BLK, 3) f32
         xyz_emb = _posenc_block(x, freqs).astype(jnp.bfloat16)  # (BLK, 63)
+        if padded:
+            xyz_pad = jnp.concatenate(
+                [xyz_emb, jnp.zeros((block_rows, SEG - xyz_w),
+                                    jnp.bfloat16)], -1)
+        else:
+            xyz_pad = xyz_emb
+
+        def pad_seg(v):
+            '''zero-pad a (BLK, C) activation segment to SEG columns.'''
+            if not padded or v.shape[-1] == SEG:
+                return v
+            return jnp.concatenate(
+                [v, jnp.zeros((block_rows, SEG - v.shape[-1]),
+                              v.dtype)], -1)
 
         def bcast(ref):
             """(rays_per_blk, C) -> (BLK, C) per-sample broadcast."""
@@ -124,15 +166,15 @@ def make_fused_nerf_eval(
             return h
 
         # ---- static branch ----
-        h = tower("static_xyz", xyz_emb)
+        h = tower("static_xyz", xyz_pad)
         w, b = wb["static_sigma"]
         static_sigma = _mm(h, w, b)  # (BLK, 1) f32
         w, b = wb["static_xyz_final"]
         feat = _mm(h, w, b).astype(jnp.bfloat16)
         if use_viewdir:
-            parts = [feat, bcast(dir_ref).astype(jnp.bfloat16)]
+            parts = [feat, pad_seg(bcast(dir_ref).astype(jnp.bfloat16))]
             if encode_a:
-                parts.append(bcast(a_ref).astype(jnp.bfloat16))
+                parts.append(pad_seg(bcast(a_ref).astype(jnp.bfloat16)))
             w, b = wb["static_dir"]
             feat = jnp.maximum(
                 _mm(jnp.concatenate(parts, -1), w, b), 0.0
@@ -145,7 +187,12 @@ def make_fused_nerf_eval(
         # ---- transient branch ----
         if encode_t:
             t_emb = bcast(t_ref).astype(jnp.bfloat16)
-            h = tower("transient_xyz", jnp.concatenate([xyz_emb, t_emb], -1))
+            tx = jnp.concatenate([xyz_emb, t_emb], -1)
+            if padded and tx.shape[-1] <= SEG:
+                tx = jnp.concatenate(
+                    [tx, jnp.zeros((block_rows, SEG - tx.shape[-1]),
+                                   jnp.bfloat16)], -1)
+            h = tower("transient_xyz", tx)
             w, b = wb["transient_xyz_final"]
             feat = _mm(h, w, b)
             featb = feat.astype(jnp.bfloat16)
@@ -200,8 +247,35 @@ def make_fused_nerf_eval(
             in_specs.append(ray_spec(t_emb.shape[-1]))
             args.append(t_emb)
 
+        t_w = (params["transient_xyz_0"]["w"].shape[0] - xyz_w
+               if encode_t else 0)
+        if encode_t:
+            assert t_w == n_tau, (
+                f"kernel built for n_tau={n_tau}, params have {t_w}")
         for name in weight_names:
-            w = params[name]["w"].astype(jnp.bfloat16)
+            w = params[name]["w"]
+            if padded:
+                k = w.shape[0]
+                if name == "static_xyz_0":
+                    w = _pad_rows(w, [((0, xyz_w), 0)], SEG)
+                elif name in [f"static_xyz_{i}" for i in skips]:
+                    w = _pad_rows(w, [((0, xyz_w), 0), ((xyz_w, k), SEG)],
+                                  SEG + 256)
+                elif name == "transient_xyz_0":
+                    w = _pad_rows(w, [((0, k), 0)], SEG)
+                elif name in [f"transient_xyz_{i}" for i in skips]:
+                    inw = xyz_w + t_w
+                    w = _pad_rows(w, [((0, inw), 0), ((inw, k), SEG)],
+                                  SEG + 256)
+                elif name == "static_dir":
+                    layout = [((0, 256), 0), ((256, 256 + dir_w), 256)]
+                    total = 256 + SEG
+                    if encode_a:
+                        layout.append(((256 + dir_w, 256 + dir_w + n_a),
+                                       256 + SEG))
+                        total += SEG
+                    w = _pad_rows(w, layout, total)
+            w = w.astype(jnp.bfloat16)
             b = params[name]["b"].astype(jnp.float32)[None]  # (1, C)
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))

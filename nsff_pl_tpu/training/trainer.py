@@ -108,7 +108,7 @@ def render_config(cfg: NSFFConfig) -> RenderConfig:
         N_emb_xyz=cfg.N_emb_xyz, S_emb_xyz=cfg.S_emb_xyz,
         N_emb_dir=cfg.N_emb_dir, S_emb_dir=cfg.S_emb_dir,
         img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype,
-        mlp_backend=cfg.mlp_backend)
+        mlp_backend=cfg.mlp_backend, N_tau=cfg.N_tau, N_a=cfg.N_a)
 
 
 class NSFFSystem:
@@ -148,6 +148,9 @@ class NSFFSystem:
             loaded = self._load_weights(cfg.weight_path)
             params = ckpt_lib.merge_params(params, loaded)
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        from nsff_pl_tpu.training.optim import make_lr_schedule
+
+        self.lr_schedule = make_lr_schedule(cfg, self.steps_per_epoch)
         self.state = TrainState(params, self.tx.init(params),
                                 jnp.zeros((), jnp.int32))
 
@@ -203,11 +206,19 @@ class NSFFSystem:
         self.batcher.weights = jnp.asarray(restored["sampling_weights"])
 
     def save(self):
+        """Checkpoint state + sampling weights; echo the config next to it
+        (the reference pickles hparams into the ckpt, train.py:38)."""
+        import dataclasses
+        import json
+
         step = int(self.state.step)
-        return ckpt_lib.save_checkpoint(
+        path = ckpt_lib.save_checkpoint(
             self.ckpt_dir, step,
             {"state": self.state,
              "sampling_weights": np.asarray(self.batcher.weights)})
+        with open(os.path.join(self.ckpt_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.cfg), f, indent=2, default=str)
+        return path
 
     # ------------------------------------------------------------------
     def fit(self, log_every: int = 50, progress: bool = True):
@@ -238,9 +249,14 @@ class NSFFSystem:
             pending.append((step, metrics))
 
             if (step + 1) % log_every == 0 or step + 1 == self.total_steps:
-                for s, m in pending:
+                # one bulk device_get instead of per-scalar fetches (each
+                # fetch is a full round trip on a tunneled backend)
+                fetched = jax.device_get([m for _, m in pending])
+                for (s, _), m in zip(pending, fetched):
                     for name, v in m.items():
                         self.logger.scalar(f"train/{name}", float(v), s)
+                # lr taxonomy parity (train.py:193)
+                self.logger.scalar("lr", float(self.lr_schedule(step)), step)
                 last = pending[-1][1]
                 if progress:
                     dt = time.time() - t0

@@ -27,7 +27,7 @@ def test_fused_matches_xla_full():
 
     fused = make_fused_nerf_eval(S, use_viewdir=True, encode_a=False,
                                  encode_t=True, output_flow=("fw", "bw"),
-                                 block_rows=64)
+                                 n_tau=16, block_rows=64)
     res = unpack_fused(fused(params, xyz, dir_emb=dir_emb, t_emb=t_emb),
                        encode_t=True, output_flow=("fw", "bw"))
 
@@ -69,7 +69,7 @@ def test_fused_padding_path():
     S = 8
     fused = make_fused_nerf_eval(S, use_viewdir=True, encode_a=False,
                                  encode_t=True, output_flow=(),
-                                 block_rows=4 * S)
+                                 n_tau=16, block_rows=4 * S)
     for N in (3, 5, 9):
         xyz = jax.random.uniform(jax.random.PRNGKey(N), (N, S, 3))
         dir_emb = posenc(jnp.ones((N, 3)), 3.0, 4)
@@ -89,7 +89,7 @@ def test_render_rays_pallas_backend_matches_xla():
         jnp.tile(jnp.array([[0.05, -0.02, 2.0]]), (5, 1))], -1)
     ts = jnp.array([0, 1, 2, 3, 2])
     kw = dict(N_samples=16, use_viewdir=True, encode_t=True, max_t=3,
-              compute_dtype="bfloat16")
+              N_tau=16, compute_dtype="bfloat16")
     out_x = render_rays(params, emb, rays, ts, jax.random.PRNGKey(0),
                         RenderConfig(mlp_backend="xla", **kw),
                         test_time=True, output_transient=True,
