@@ -76,7 +76,7 @@ class NSFFConfig:
     debug: bool = False
 
     # ---- TPU-specific knobs (new; no reference equivalent) ----
-    mlp_backend: str = "xla"  # 'xla' | 'pallas'
+    mlp_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -199,8 +199,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--debug", default=False, action="store_true")
 
     # TPU-native extras
-    parser.add_argument("--mlp_backend", type=str, default="xla",
-                        choices=["xla", "pallas"])
+    parser.add_argument("--mlp_backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)

@@ -57,13 +57,13 @@ class RenderConfig:
     # bandwidth). Measured a wash at batch 512 and a LOSS at batch 2048 on
     # v5e with the XLA path, so default off; revisit with Pallas kernels.
     remat: bool = False
-    # 'xla' | 'pallas' — evaluation backend for the no-grad (test-time)
-    # path. The fused Pallas kernel (ops/mlp_kernel.py) is numerically
-    # verified; as of v5e round 1 it is NOT yet faster than XLA's fusion
-    # (4.6 vs 2.2 ms / 65k pts; 128-padded contractions were measured to
-    # recover only ~8% — the remaining gap is per-grid-step weight DMA,
-    # which needs weight-stationary scratch residency). XLA stays default.
-    mlp_backend: str = "xla"
+    # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
+    # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
+    # selector-matmul posenc + packed transient heads) measures 1.34x
+    # faster than XLA's fusion at full-image ray counts on v5e (5.8 vs
+    # 7.8 ms / 262k points), parity at small batches. 'auto' uses it on
+    # TPU and the XLA path on CPU (where pallas runs interpreted).
+    mlp_backend: str = "auto"
 
     @property
     def dtype(self):
@@ -153,8 +153,10 @@ def render_rays(
         t_emb_ = _expand(t_embedded, n_samples_) if output_transient else None
 
         sigma_only = typ == "coarse" and test_time
-        use_pallas = (cfg.mlp_backend == "pallas" and test_time
-                      and not sigma_only)
+        backend = cfg.mlp_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        use_pallas = backend == "pallas" and test_time and not sigma_only
         if use_pallas:
             # fused posenc+dual-tower Pallas kernel (ops/mlp_kernel.py)
             from nsff_pl_tpu.ops import mlp_kernel as mk

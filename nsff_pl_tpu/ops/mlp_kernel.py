@@ -72,6 +72,35 @@ def _pad_rows(w: jnp.ndarray, layout, total: int) -> jnp.ndarray:
     return out
 
 
+def _posenc_tables(freqs, width: int):
+    """Selector-matmul positional encoding tables.
+
+    Column j of the (3, width) selector holds freq_j at the source channel
+    row, so `x @ sel` computes freq_j * x[c_j] for every output column in
+    ONE aligned matmul; sin/cos/id masks then finish the encoding. This
+    avoids materializing 2*n_freqs+1 narrow (rows, 3) arrays in VMEM —
+    each would be lane-padded to 128 (a 42x memory blowup that OOMs
+    scoped vmem and dominates kernel time).
+    """
+    n63 = 3 + 6 * len(freqs)
+    sel = np.zeros((3, width), np.float32)
+    is_id = np.zeros((width,), np.float32)
+    is_sin = np.zeros((width,), np.float32)
+    valid = np.zeros((width,), np.float32)
+    for j in range(min(n63, width)):
+        valid[j] = 1.0
+        if j < 3:
+            sel[j, j] = 1.0
+            is_id[j] = 1.0
+        else:
+            k, r = (j - 3) // 6, (j - 3) % 6
+            c = r % 3
+            sel[c, j] = freqs[k]
+            if r < 3:
+                is_sin[j] = 1.0
+    return sel, is_id[None], is_sin[None], valid[None]
+
+
 def make_fused_nerf_eval(
     n_samples: int,
     *,
@@ -111,16 +140,18 @@ def make_fused_nerf_eval(
         ["static_xyz_final"] + (["static_dir"] if use_viewdir else []) + \
         ["static_sigma", "static_rgb"]
     transient_names = ([f"transient_xyz_{i}" for i in range(D)]
-                       + ["transient_xyz_final", "transient_sigma",
-                          "transient_rgb"]
-                       + (["transient_flow_fw"] if "fw" in output_flow else [])
-                       + (["transient_flow_bw"] if "bw" in output_flow else [])
+                       + ["transient_xyz_final", "transient_heads"]
                        ) if encode_t else []
     weight_names = static_names + transient_names
 
     def kernel(*refs):
-        # refs: xyz, dir_emb?, a_emb?, t_emb?, (w, b) per weight, out
+        # refs: pe tables, xyz, dir_emb?, a_emb?, t_emb?, (w, b) x weights, out
         it = iter(refs)
+        pe_sel_ref = next(it)
+        pe_id_ref = next(it)
+        pe_sin_ref = next(it)
+        pe_valid_ref = next(it)
+        t_sel_ref = next(it) if (encode_t and padded) else None
         xyz_ref = next(it)
         dir_ref = next(it) if use_viewdir else None
         a_ref = next(it) if encode_a else None
@@ -133,13 +164,17 @@ def make_fused_nerf_eval(
         out_ref = next(it)
 
         x = xyz_ref[...]  # (BLK, 3) f32
-        xyz_emb = _posenc_block(x, freqs).astype(jnp.bfloat16)  # (BLK, 63)
-        if padded:
-            xyz_pad = jnp.concatenate(
-                [xyz_emb, jnp.zeros((block_rows, SEG - xyz_w),
-                                    jnp.bfloat16)], -1)
-        else:
-            xyz_pad = xyz_emb
+        # one-matmul positional encoding (see _posenc_tables)
+        xs = jnp.dot(x, pe_sel_ref[...],
+                     preferred_element_type=jnp.float32)  # (BLK, W)
+        ids = pe_id_ref[...]
+        sins = pe_sin_ref[...]
+        vals = pe_valid_ref[...]
+        pe = jnp.where(ids > 0, xs,
+                       jnp.where(sins > 0, jnp.sin(xs), jnp.cos(xs))) * vals
+        vals_x_only = vals  # posenc-valid mask (t slots are zero in vals)
+        xyz_pad = pe.astype(jnp.bfloat16)  # (BLK, 128) or (BLK, 63)
+        xyz_emb = xyz_pad[:, :xyz_w] if not padded else xyz_pad
 
         def pad_seg(v):
             '''zero-pad a (BLK, C) activation segment to SEG columns.'''
@@ -185,28 +220,35 @@ def make_fused_nerf_eval(
         cols = [static_rgb, static_sigma]
 
         # ---- transient branch ----
+        n_tr_heads = 4 + 3 * (("fw" in output_flow) + ("bw" in output_flow))
         if encode_t:
-            t_emb = bcast(t_ref).astype(jnp.bfloat16)
-            tx = jnp.concatenate([xyz_emb, t_emb], -1)
-            if padded and tx.shape[-1] <= SEG:
-                tx = jnp.concatenate(
-                    [tx, jnp.zeros((block_rows, SEG - tx.shape[-1]),
-                                   jnp.bfloat16)], -1)
+            t_emb = bcast(t_ref).astype(jnp.float32)
+            if padded:
+                # place t into cols [xyz_w, xyz_w+t) of the 128-wide
+                # segment via a second tiny selector matmul (stays aligned)
+                tx = (pe * vals_x_only
+                      + jnp.dot(t_emb, t_sel_ref[...],
+                                preferred_element_type=jnp.float32)
+                      ).astype(jnp.bfloat16)
+            else:
+                tx = jnp.concatenate([xyz_emb,
+                                      t_emb.astype(jnp.bfloat16)], -1)
             h = tower("transient_xyz", tx)
             w, b = wb["transient_xyz_final"]
-            feat = _mm(h, w, b)
-            featb = feat.astype(jnp.bfloat16)
-            w, b = wb["transient_sigma"]
-            tr_sigma = _mm(featb, w, b)
-            w, b = wb["transient_rgb"]
-            tr_rgb = jax.nn.sigmoid(_mm(featb, w, b))
+            featb = _mm(h, w, b).astype(jnp.bfloat16)
+            # all transient heads in ONE matmul:
+            # cols [sigma(1) | rgb(3) | fw(3) | bw(3)]
+            w, b = wb["transient_heads"]
+            th = _mm(featb, w, b)
+            tr_sigma = th[:, 0:1]
+            tr_rgb = jax.nn.sigmoid(th[:, 1:4])
             cols += [tr_rgb, tr_sigma]
+            c = 4
             if "fw" in output_flow:
-                w, b = wb["transient_flow_fw"]
-                cols.append(flow_scale * jnp.tanh(_mm(featb, w, b)))
+                cols.append(flow_scale * jnp.tanh(th[:, c:c + 3]))
+                c += 3
             if "bw" in output_flow:
-                w, b = wb["transient_flow_bw"]
-                cols.append(flow_scale * jnp.tanh(_mm(featb, w, b)))
+                cols.append(flow_scale * jnp.tanh(th[:, c:c + 3]))
 
         packed = jnp.concatenate(cols, -1)
         pad = 16 - packed.shape[-1]
@@ -232,9 +274,30 @@ def make_fused_nerf_eval(
 
         xyz_flat = xyz.reshape(rows, 3)
 
-        in_specs = [pl.BlockSpec((block_rows, 3), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
-        args = [xyz_flat]
+        pe_width = SEG if padded else xyz_w
+        sel, is_id, is_sin, valid = _posenc_tables(freqs, pe_width)
+        in_specs = [
+            pl.BlockSpec((3, pe_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pe_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pe_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pe_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [jnp.asarray(sel), jnp.asarray(is_id), jnp.asarray(is_sin),
+                jnp.asarray(valid)]
+        if encode_t and padded:
+            tsel = np.zeros((n_tau, SEG), np.float32)
+            for j in range(n_tau):
+                tsel[j, xyz_w + j] = 1.0
+            in_specs.append(pl.BlockSpec((n_tau, SEG), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(tsel))
+        in_specs.append(pl.BlockSpec((block_rows, 3), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(xyz_flat)
         ray_spec = lambda c: pl.BlockSpec(  # noqa: E731
             (rays_per_blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
         if use_viewdir:
@@ -252,8 +315,23 @@ def make_fused_nerf_eval(
         if encode_t:
             assert t_w == n_tau, (
                 f"kernel built for n_tau={n_tau}, params have {t_w}")
+        packed_params = dict(params)
+        if encode_t:
+            head_ws = [params["transient_sigma"]["w"],
+                       params["transient_rgb"]["w"]]
+            head_bs = [params["transient_sigma"]["b"],
+                       params["transient_rgb"]["b"]]
+            if "fw" in output_flow:
+                head_ws.append(params["transient_flow_fw"]["w"])
+                head_bs.append(params["transient_flow_fw"]["b"])
+            if "bw" in output_flow:
+                head_ws.append(params["transient_flow_bw"]["w"])
+                head_bs.append(params["transient_flow_bw"]["b"])
+            packed_params["transient_heads"] = {
+                "w": jnp.concatenate(head_ws, -1),
+                "b": jnp.concatenate(head_bs, -1)}
         for name in weight_names:
-            w = params[name]["w"]
+            w = packed_params[name]["w"]
             if padded:
                 k = w.shape[0]
                 if name == "static_xyz_0":
@@ -276,7 +354,7 @@ def make_fused_nerf_eval(
                         total += SEG
                     w = _pad_rows(w, layout, total)
             w = w.astype(jnp.bfloat16)
-            b = params[name]["b"].astype(jnp.float32)[None]  # (1, C)
+            b = packed_params[name]["b"].astype(jnp.float32)[None]  # (1, C)
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
             in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
@@ -284,6 +362,11 @@ def make_fused_nerf_eval(
             args += [w, b]
 
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
+        except TypeError:  # older pallas without the field
+            compiler_params = None
         out = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -292,6 +375,7 @@ def make_fused_nerf_eval(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, 16), jnp.float32),
             interpret=interpret,
+            compiler_params=compiler_params,
         )(*args)
         out = out.reshape(-1, s, 16)
         return out[:n]
