@@ -110,10 +110,49 @@ def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16"):
     return batch_size * iters / dt, loss
 
 
+def measure_render(n_rays: int = 8192, n_samples: int = 128,
+                   iters: int = 20) -> float:
+    """Test-time full-image render throughput (fused Pallas kernel path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsff_pl_tpu.models import nerf as nerf_m
+    from nsff_pl_tpu.models.rendering import RenderConfig, render_rays
+
+    key = jax.random.PRNGKey(0)
+    params = {"fine": nerf_m.init_nerf_params(
+        key, "fine", use_viewdir=True, encode_transient=True,
+        in_channels_t=48, output_flow=True)}
+    emb = {"t": nerf_m.init_embedding(key, 30, 48)}
+    rays = jnp.concatenate([
+        (jax.random.uniform(key, (n_rays, 3)) * 0.5).at[:, 2].set(-1.0),
+        (jax.random.uniform(jax.random.PRNGKey(1), (n_rays, 3)) * 0.1)
+        .at[:, 2].set(2.0)], -1)
+    ts = jnp.zeros((n_rays,), jnp.int32)
+    cfg = RenderConfig(N_samples=n_samples, use_viewdir=True, encode_t=True,
+                       max_t=29, compute_dtype="bfloat16")
+    f = jax.jit(lambda p, e, r, t, k: render_rays(
+        p, e, r, t, k, cfg, test_time=True,
+        output_transient=True)["rgb_fine"])
+    out = f(params, emb, rays, ts, key)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(params, emb, rays, ts, key)
+    float(jnp.sum(out))
+    return n_rays * iters / (time.perf_counter() - t0)
+
+
 def main():
     import warnings
 
     warnings.filterwarnings("ignore")
+    try:
+        render_rps = measure_render()
+        print(f"# render (test-time, pallas auto): {render_rps:,.0f} rays/s",
+              flush=True)
+    except Exception as e:
+        print(f"# render bench failed: {type(e).__name__}", flush=True)
     best = 0.0
     best_cfg = None
     for bs in (512, 2048, 8192):
