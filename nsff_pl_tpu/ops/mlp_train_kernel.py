@@ -1,0 +1,555 @@
+"""Trainable fused NeRF evaluation: Pallas forward + Pallas backward.
+
+Profiling (docs/ARCHITECTURE.md) shows the NSFF train step is dominated by
+XLA's backward through the tower evaluations (~9.4 of 13.2 ms at batch
+512). This module provides `make_fused_nerf_train`: the same fused
+dual-tower evaluation as `ops/mlp_kernel.py` but with a custom VJP whose
+backward is itself one Pallas kernel per grid block:
+
+  - recompute the forward for the block with every layer's post-ReLU
+    activation held in VMEM (rematerialization inside the kernel — no
+    HBM activation traffic at all),
+  - backpropagate through heads and towers with aligned matmuls,
+  - accumulate dW/db into VMEM-resident output blocks across the
+    (sequential) grid, and emit per-row dxyz plus per-ray
+    d(dir/appearance/time) embedding gradients.
+
+Gradients flow to: all tower/head weights, xyz (needed because warped
+points are xyz + flow(params)), and the trainable per-frame embeddings.
+
+Layout notes follow ops/mlp_kernel.py: selector-matmul positional
+encoding (one (rows,3)@(3,128) matmul; its VJP is a matmul by the
+transposed selector), 128-aligned segments, packed transient heads.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsff_pl_tpu.ops.mlp_kernel import (SEG, _mm, _pad_rows, _posenc_tables,
+                                        make_fused_nerf_eval)
+from nsff_pl_tpu.ops.posenc import posenc_freqs
+
+F32 = jnp.float32
+BF16 = jnp.bfloat16
+
+
+def make_fused_nerf_train(
+    n_samples: int,
+    *,
+    use_viewdir: bool,
+    encode_a: bool,
+    encode_t: bool,
+    output_flow: Tuple[str, ...],
+    n_emb_xyz: int = 10,
+    s_emb_xyz: float = 9.0,
+    n_emb_dir: int = 4,
+    n_a: int = 48,
+    n_tau: int = 48,
+    flow_scale: float = 0.2,
+    D: int = 8,
+    skips=(4,),
+    block_rows: int = 1024,
+    bwd_block_rows: int = 512,
+):
+    """Build the trainable fused evaluator with a Pallas backward.
+
+    Returns fn(params, xyz, dir_emb, a_emb, t_emb) -> (N, S, 16) packed
+    exactly like `make_fused_nerf_eval`; differentiable in params, xyz and
+    the per-ray embeddings.
+    """
+    freqs = tuple(float(f) for f in posenc_freqs(s_emb_xyz, n_emb_xyz))
+    xyz_w = 3 + 6 * n_emb_xyz
+    dir_w = 3 + 6 * n_emb_dir
+    if block_rows % n_samples != 0:
+        block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
+    rays_per_blk = block_rows // n_samples
+    BWD_BLK = bwd_block_rows
+
+    n_flow = 3 * (("fw" in output_flow) + ("bw" in output_flow))
+    n_tr_heads = 4 + n_flow
+
+    # weight list (packed heads, padded layouts — mirrors the eval kernel)
+    static_names = [f"static_xyz_{i}" for i in range(D)] + \
+        ["static_xyz_final"] + (["static_dir"] if use_viewdir else []) + \
+        ["static_sigma", "static_rgb"]
+    transient_names = ([f"transient_xyz_{i}" for i in range(D)]
+                       + ["transient_xyz_final", "transient_heads"]
+                       ) if encode_t else []
+    weight_names = static_names + transient_names
+
+    fwd_eval = make_fused_nerf_eval(
+        n_samples, use_viewdir=use_viewdir, encode_a=encode_a,
+        encode_t=encode_t, output_flow=output_flow, n_emb_xyz=n_emb_xyz,
+        s_emb_xyz=s_emb_xyz, n_emb_dir=n_emb_dir, n_a=n_a, n_tau=n_tau,
+        flow_scale=flow_scale, D=D, skips=skips, block_rows=block_rows)
+
+    # ------------------------------------------------------------------
+    # padded weight prep shared by fwd(already in eval) and bwd
+    # ------------------------------------------------------------------
+    def _packed_padded_weights(params):
+        packed = dict(params)
+        if encode_t:
+            hw = [params["transient_sigma"]["w"], params["transient_rgb"]["w"]]
+            hb = [params["transient_sigma"]["b"], params["transient_rgb"]["b"]]
+            if "fw" in output_flow:
+                hw.append(params["transient_flow_fw"]["w"])
+                hb.append(params["transient_flow_fw"]["b"])
+            if "bw" in output_flow:
+                hw.append(params["transient_flow_bw"]["w"])
+                hb.append(params["transient_flow_bw"]["b"])
+            packed["transient_heads"] = {"w": jnp.concatenate(hw, -1),
+                                         "b": jnp.concatenate(hb, -1)}
+        out = {}
+        for name in weight_names:
+            w = packed[name]["w"]
+            k = w.shape[0]
+            if name == "static_xyz_0":
+                w = _pad_rows(w, [((0, xyz_w), 0)], SEG)
+            elif name in [f"static_xyz_{i}" for i in skips]:
+                w = _pad_rows(w, [((0, xyz_w), 0), ((xyz_w, k), SEG)],
+                              SEG + 256)
+            elif name == "transient_xyz_0":
+                w = _pad_rows(w, [((0, k), 0)], SEG)
+            elif name in [f"transient_xyz_{i}" for i in skips]:
+                inw = xyz_w + n_tau
+                w = _pad_rows(w, [((0, inw), 0), ((inw, k), SEG)], SEG + 256)
+            elif name == "static_dir":
+                layout = [((0, 256), 0), ((256, 256 + dir_w), 256)]
+                total = 256 + SEG
+                if encode_a:
+                    layout.append(((256 + dir_w, 256 + dir_w + n_a),
+                                   256 + SEG))
+                    total += SEG
+                w = _pad_rows(w, layout, total)
+            out[name] = {"w": w.astype(BF16),
+                         "b": packed[name]["b"].astype(F32)[None]}
+        return out
+
+    def _unpad_grads(dws):
+        """Map padded/packed dW/db back onto the original params pytree."""
+        g = {}
+
+        def unpad(name, w):
+            if name == "static_xyz_0":
+                return w[:xyz_w]
+            if name in [f"static_xyz_{i}" for i in skips]:
+                return jnp.concatenate([w[:xyz_w], w[SEG:SEG + 256]], 0)
+            if name == "transient_xyz_0":
+                return w[:xyz_w + n_tau]
+            if name in [f"transient_xyz_{i}" for i in skips]:
+                return jnp.concatenate([w[:xyz_w + n_tau],
+                                        w[SEG:SEG + 256]], 0)
+            if name == "static_dir":
+                parts = [w[:256], w[256:256 + dir_w]]
+                if encode_a:
+                    parts.append(w[256 + SEG:256 + SEG + n_a])
+                return jnp.concatenate(parts, 0)
+            return w
+
+        for name in weight_names:
+            dw = unpad(name, dws[name]["w"]).astype(F32)
+            db = dws[name]["b"][0].astype(F32)
+            if name == "transient_heads":
+                # split back into sigma/rgb/flow params
+                g["transient_sigma"] = {"w": dw[:, 0:1], "b": db[0:1]}
+                g["transient_rgb"] = {"w": dw[:, 1:4], "b": db[1:4]}
+                c = 4
+                if "fw" in output_flow:
+                    g["transient_flow_fw"] = {"w": dw[:, c:c + 3],
+                                              "b": db[c:c + 3]}
+                    c += 3
+                if "bw" in output_flow:
+                    g["transient_flow_bw"] = {"w": dw[:, c:c + 3],
+                                              "b": db[c:c + 3]}
+            else:
+                g[name] = {"w": dw, "b": db}
+        return g
+
+    # ------------------------------------------------------------------
+    # backward kernels — one per branch so a single kernel's VMEM holds
+    # only ONE tower's activations + dW (both at once OOMs scoped vmem)
+    # ------------------------------------------------------------------
+    def make_branch_bwd(branch: str):
+        names = static_names if branch == "static" else transient_names
+
+        def bwd_kernel(*refs):
+            it = iter(refs)
+            pe_sel = next(it)[...]
+            pe_id = next(it)[...]
+            pe_sin = next(it)[...]
+            pe_valid = next(it)[...]
+            t_sel = next(it)[...] if (encode_t and branch == "transient") \
+                else None
+            xyz_ref = next(it)
+            dir_ref = next(it) if (use_viewdir and branch == "static") \
+                else None
+            a_ref = next(it) if (encode_a and branch == "static") else None
+            t_ref = next(it) if (encode_t and branch == "transient") \
+                else None
+            wb = {}
+            for name in names:
+                w = next(it)
+                b = next(it)
+                wb[name] = (w[...], b[...][0])
+            g_ref = next(it)  # (BLK, 16) cotangent
+            dW = {}
+            for name in names:
+                dW[name] = (next(it), next(it))
+            dxyz_ref = next(it)
+            ddir_ref = next(it) if (use_viewdir and branch == "static") \
+                else None
+            da_ref = next(it) if (encode_a and branch == "static") else None
+            dt_ref = next(it) if (encode_t and branch == "transient") \
+                else None
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                for name in names:
+                    dW[name][0][...] = jnp.zeros_like(dW[name][0])
+                    dW[name][1][...] = jnp.zeros_like(dW[name][1])
+
+            # ---- shared: positional encoding recompute ----
+            x = xyz_ref[...]
+            xs = jnp.dot(x, pe_sel, preferred_element_type=F32)
+            pe = jnp.where(pe_id > 0, xs,
+                           jnp.where(pe_sin > 0, jnp.sin(xs),
+                                     jnp.cos(xs))) * pe_valid
+
+            def bcast(ref):
+                return ref[...]  # embeddings are pre-expanded per row
+
+            def ray_reduce(gg):
+                return gg  # per-row grads; caller reduces over samples
+
+            def pad_seg(v):
+                if v.shape[-1] == SEG:
+                    return v
+                return jnp.concatenate(
+                    [v, jnp.zeros((BWD_BLK, SEG - v.shape[-1]),
+                                  v.dtype)], -1)
+
+            def tower_fwd(prefix, inp):
+                acts = [inp]
+                h = inp
+                for i in range(D):
+                    if i in skips:
+                        h = jnp.concatenate([inp, h], -1)
+                    w, b = wb[f"{prefix}_{i}"]
+                    h = jnp.maximum(_mm(h, w, b), 0.0).astype(BF16)
+                    acts.append(h)
+                return acts
+
+            def tower_bwd(prefix, acts, dh_last):
+                inp = acts[0]
+                dinp = jnp.zeros((BWD_BLK, inp.shape[-1]), F32)
+                dh = dh_last
+                for i in range(D - 1, -1, -1):
+                    w, _ = wb[f"{prefix}_{i}"]
+                    h_out = acts[i + 1]
+                    dz = dh * (h_out.astype(F32) > 0)
+                    h_in = acts[i]
+                    h_in_full = jnp.concatenate([inp, h_in], -1) \
+                        if i in skips else h_in
+                    dW[f"{prefix}_{i}"][0][...] += jnp.dot(
+                        h_in_full.T, dz.astype(BF16),
+                        preferred_element_type=F32)
+                    dW[f"{prefix}_{i}"][1][...] += jnp.sum(dz, 0,
+                                                           keepdims=True)
+                    dfull = jnp.dot(dz.astype(BF16), w.T,
+                                    preferred_element_type=F32)
+                    if i in skips:
+                        dinp = dinp + dfull[:, :inp.shape[-1]]
+                        dh = dfull[:, inp.shape[-1]:]
+                    else:
+                        dh = dfull
+                return dinp + dh
+
+            g = g_ref[...]
+
+            if branch == "static":
+                xyz_pad = pe.astype(BF16)
+                s_acts = tower_fwd("static_xyz", xyz_pad)
+                h8 = s_acts[-1]
+                w_sig, _ = wb["static_sigma"]
+                w_fin, b_fin = wb["static_xyz_final"]
+                feat0 = _mm(h8, w_fin, b_fin)
+                if use_viewdir:
+                    dir_b = pad_seg(bcast(dir_ref).astype(BF16))
+                    parts = [feat0.astype(BF16), dir_b]
+                    if encode_a:
+                        parts.append(pad_seg(bcast(a_ref).astype(BF16)))
+                    dir_in = jnp.concatenate(parts, -1)
+                    w_dir, b_dir = wb["static_dir"]
+                    feat = jnp.maximum(_mm(dir_in, w_dir, b_dir), 0.0)
+                else:
+                    feat = feat0
+                featb = feat.astype(BF16)
+                w_rgb, b_rgb = wb["static_rgb"]
+                s_rgb = jax.nn.sigmoid(_mm(featb, w_rgb, b_rgb))
+
+                g_srgb = g[:, 0:3] * s_rgb * (1.0 - s_rgb)
+                g_ssig = g[:, 3:4]
+                dW["static_rgb"][0][...] += jnp.dot(
+                    featb.T, g_srgb.astype(BF16),
+                    preferred_element_type=F32)
+                dW["static_rgb"][1][...] += jnp.sum(g_srgb, 0,
+                                                    keepdims=True)
+                dfeat = jnp.dot(g_srgb.astype(BF16), w_rgb.T,
+                                preferred_element_type=F32)
+                if use_viewdir:
+                    dz = dfeat * (feat > 0)
+                    dW["static_dir"][0][...] += jnp.dot(
+                        dir_in.T, dz.astype(BF16),
+                        preferred_element_type=F32)
+                    dW["static_dir"][1][...] += jnp.sum(dz, 0,
+                                                        keepdims=True)
+                    ddir_in = jnp.dot(dz.astype(BF16), w_dir.T,
+                                      preferred_element_type=F32)
+                    dfeat0 = ddir_in[:, :256]
+                    ddir_ref[...] = ray_reduce(
+                        ddir_in[:, 256:256 + dir_w])
+                    if encode_a:
+                        da_ref[...] = ray_reduce(
+                            ddir_in[:, 256 + SEG:256 + SEG + n_a])
+                else:
+                    dfeat0 = dfeat
+                dW["static_xyz_final"][0][...] += jnp.dot(
+                    h8.T, dfeat0.astype(BF16), preferred_element_type=F32)
+                dW["static_xyz_final"][1][...] += jnp.sum(
+                    dfeat0, 0, keepdims=True)
+                dh8 = jnp.dot(dfeat0.astype(BF16), w_fin.T,
+                              preferred_element_type=F32)
+                dW["static_sigma"][0][...] += jnp.dot(
+                    h8.T, g_ssig.astype(BF16), preferred_element_type=F32)
+                dW["static_sigma"][1][...] += jnp.sum(g_ssig, 0,
+                                                      keepdims=True)
+                dh8 = dh8 + jnp.dot(g_ssig.astype(BF16), w_sig.T,
+                                    preferred_element_type=F32)
+                dpe = tower_bwd("static_xyz", s_acts, dh8)
+            else:  # transient branch
+                t_b = bcast(t_ref).astype(F32)
+                tx = (pe * pe_valid
+                      + jnp.dot(t_b, t_sel, preferred_element_type=F32)
+                      ).astype(BF16)
+                t_acts = tower_fwd("transient_xyz", tx)
+                th8 = t_acts[-1]
+                w_tfin, b_tfin = wb["transient_xyz_final"]
+                tfeatb = _mm(th8, w_tfin, b_tfin).astype(BF16)
+                w_th, b_th = wb["transient_heads"]
+                th = _mm(tfeatb, w_th, b_th)
+                t_rgb = jax.nn.sigmoid(th[:, 1:4])
+                g_cols = [g[:, 7:8], g[:, 4:7] * t_rgb * (1.0 - t_rgb)]
+                c_in, c_th = 8, 4
+                if "fw" in output_flow:
+                    tf = jnp.tanh(th[:, c_th:c_th + 3])
+                    g_cols.append(g[:, c_in:c_in + 3] * flow_scale
+                                  * (1.0 - tf * tf))
+                    c_in += 3
+                    c_th += 3
+                if "bw" in output_flow:
+                    tb2 = jnp.tanh(th[:, c_th:c_th + 3])
+                    g_cols.append(g[:, c_in:c_in + 3] * flow_scale
+                                  * (1.0 - tb2 * tb2))
+                g_th = jnp.concatenate(g_cols, -1)
+                dW["transient_heads"][0][...] += jnp.dot(
+                    tfeatb.T, g_th.astype(BF16),
+                    preferred_element_type=F32)
+                dW["transient_heads"][1][...] += jnp.sum(g_th, 0,
+                                                         keepdims=True)
+                dtfeat = jnp.dot(g_th.astype(BF16), w_th.T,
+                                 preferred_element_type=F32)
+                dW["transient_xyz_final"][0][...] += jnp.dot(
+                    th8.T, dtfeat.astype(BF16),
+                    preferred_element_type=F32)
+                dW["transient_xyz_final"][1][...] += jnp.sum(
+                    dtfeat, 0, keepdims=True)
+                dth8 = jnp.dot(dtfeat.astype(BF16), w_tfin.T,
+                               preferred_element_type=F32)
+                dtx = tower_bwd("transient_xyz", t_acts, dth8)
+                dpe = dtx * pe_valid
+                dt_ref[...] = ray_reduce(
+                    jnp.dot(dtx.astype(BF16), t_sel.T.astype(BF16),
+                            preferred_element_type=F32))
+
+            dxs = jnp.where(pe_id > 0, dpe * pe_valid,
+                            jnp.where(pe_sin > 0,
+                                      dpe * pe_valid * jnp.cos(xs),
+                                      -dpe * pe_valid * jnp.sin(xs)))
+            dxyz_ref[...] = jnp.dot(dxs.astype(BF16),
+                                    pe_sel.T.astype(BF16),
+                                    preferred_element_type=F32)
+
+        return bwd_kernel
+
+    bwd_kernels = {"static": make_branch_bwd("static")}
+    if encode_t:
+        bwd_kernels["transient"] = make_branch_bwd("transient")
+
+    # ------------------------------------------------------------------
+    # host-side plumbing
+    # ------------------------------------------------------------------
+    def _branch_bwd_host(branch, pw, xyz_flat, dir_emb, a_emb, t_emb, g,
+                         rows, n_blocks, n_rays_pad):
+        names = static_names if branch == "static" else transient_names
+        sel, is_id, is_sin, valid = _posenc_tables(freqs, SEG)
+
+        const2 = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        row_spec = lambda c: pl.BlockSpec(  # noqa: E731
+            (BWD_BLK, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ray_spec = row_spec  # embeddings are expanded per row for bwd
+
+        in_specs = [const2((3, SEG)), const2((1, SEG)), const2((1, SEG)),
+                    const2((1, SEG))]
+        args = [jnp.asarray(sel), jnp.asarray(is_id), jnp.asarray(is_sin),
+                jnp.asarray(valid)]
+        if encode_t and branch == "transient":
+            tsel = np.zeros((n_tau, SEG), np.float32)
+            for j in range(n_tau):
+                tsel[j, xyz_w + j] = 1.0
+            in_specs.append(const2((n_tau, SEG)))
+            args.append(jnp.asarray(tsel))
+        in_specs.append(row_spec(3))
+        args.append(xyz_flat)
+        if use_viewdir and branch == "static":
+            in_specs.append(ray_spec(dir_emb.shape[-1]))
+            args.append(dir_emb)
+        if encode_a and branch == "static":
+            in_specs.append(ray_spec(a_emb.shape[-1]))
+            args.append(a_emb)
+        if encode_t and branch == "transient":
+            in_specs.append(ray_spec(t_emb.shape[-1]))
+            args.append(t_emb)
+        for name in names:
+            w, b = pw[name]["w"], pw[name]["b"]
+            in_specs += [const2(w.shape), const2(b.shape)]
+            args += [w, b]
+        in_specs.append(row_spec(16))
+        args.append(g)
+
+        out_shapes = []
+        out_specs = []
+        for name in names:
+            w, b = pw[name]["w"], pw[name]["b"]
+            out_shapes += [jax.ShapeDtypeStruct(w.shape, F32),
+                           jax.ShapeDtypeStruct(b.shape, F32)]
+            out_specs += [const2(w.shape), const2(b.shape)]
+        out_shapes.append(jax.ShapeDtypeStruct((rows, 3), F32))
+        out_specs.append(row_spec(3))
+        if use_viewdir and branch == "static":
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (rows, dir_emb.shape[-1]), F32))
+            out_specs.append(row_spec(dir_emb.shape[-1]))
+        if encode_a and branch == "static":
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (rows, a_emb.shape[-1]), F32))
+            out_specs.append(row_spec(a_emb.shape[-1]))
+        if encode_t and branch == "transient":
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (rows, t_emb.shape[-1]), F32))
+            out_specs.append(row_spec(t_emb.shape[-1]))
+
+        interpret = jax.default_backend() == "cpu"
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))
+        except TypeError:
+            compiler_params = None
+        return pl.pallas_call(
+            bwd_kernels[branch],
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(*args)
+
+    def _bwd_host(params, xyz, dir_emb, a_emb, t_emb, g):
+        n, s = xyz.shape[0], xyz.shape[1]
+        rows = n * s
+        # bwd blocks need not cover whole rays (embeddings are per-row);
+        # pad rows to a BWD_BLK multiple
+        n_pad_rows = (-rows) % BWD_BLK
+        pw = _packed_padded_weights(params)
+
+        def expand(v):
+            if v is None:
+                return None
+            vr = jnp.broadcast_to(v[:, None, :],
+                                  (n, s, v.shape[-1])).reshape(rows,
+                                                               v.shape[-1])
+            if n_pad_rows:
+                vr = jnp.concatenate(
+                    [vr, jnp.zeros((n_pad_rows, v.shape[-1]), v.dtype)], 0)
+            return vr
+
+        dir_row = expand(dir_emb)
+        a_row = expand(a_emb)
+        t_row = expand(t_emb)
+        xyz_flat = xyz.reshape(rows, 3)
+        g_flat = g.reshape(rows, 16).astype(F32)
+        if n_pad_rows:
+            xyz_flat = jnp.concatenate(
+                [xyz_flat, jnp.zeros((n_pad_rows, 3), xyz_flat.dtype)], 0)
+            g_flat = jnp.concatenate(
+                [g_flat, jnp.zeros((n_pad_rows, 16), F32)], 0)
+        rows_pad = rows + n_pad_rows
+        n_blocks = rows_pad // BWD_BLK
+        n_rays_pad = 0  # unused
+        rows = rows_pad
+        dir_emb, a_emb, t_emb = dir_row, a_row, t_row
+
+        def per_ray(row_grads):
+            return row_grads[:n * s].reshape(n, s, -1).sum(axis=1)
+
+        outs_s = _branch_bwd_host("static", pw, xyz_flat, dir_emb, a_emb,
+                                  t_emb, g_flat, rows, n_blocks, n_rays_pad)
+        it = iter(outs_s)
+        dws = {}
+        for name in static_names:
+            dws[name] = {"w": next(it), "b": next(it)}
+        dxyz = next(it)
+        ddir = per_ray(next(it)) if use_viewdir else None
+        da = per_ray(next(it)) if encode_a else None
+        dt = None
+        if encode_t:
+            outs_t = _branch_bwd_host("transient", pw, xyz_flat, dir_emb,
+                                      a_emb, t_emb, g_flat, rows, n_blocks,
+                                      n_rays_pad)
+            it = iter(outs_t)
+            for name in transient_names:
+                dws[name] = {"w": next(it), "b": next(it)}
+            dxyz = dxyz + next(it)
+            dt = per_ray(next(it))
+        dparams = _unpad_grads(dws)
+        dxyz = dxyz[:n * s].reshape(n, n_samples, 3)
+        return dparams, dxyz, ddir, da, dt
+
+    # ------------------------------------------------------------------
+    @jax.custom_vjp
+    def fused_train(params, xyz, dir_emb, a_emb, t_emb):
+        return fwd_eval(params, xyz, dir_emb=dir_emb, a_emb=a_emb,
+                        t_emb=t_emb)
+
+    def fwd_rule(params, xyz, dir_emb, a_emb, t_emb):
+        out = fused_train(params, xyz, dir_emb, a_emb, t_emb)
+        return out, (params, xyz, dir_emb, a_emb, t_emb)
+
+    def bwd_rule(res, g):
+        params, xyz, dir_emb, a_emb, t_emb = res
+        dparams, dxyz, ddir, da, dt = _bwd_host(
+            params, xyz, dir_emb, a_emb, t_emb, g)
+        # fill zero grads for params the kernel does not touch
+        full_dparams = jax.tree.map(jnp.zeros_like, params)
+        full_dparams.update(dparams)
+        return (full_dparams, dxyz, ddir, da, dt)
+
+    fused_train.defvjp(fwd_rule, bwd_rule)
+    return fused_train
