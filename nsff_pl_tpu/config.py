@@ -76,7 +76,8 @@ class NSFFConfig:
     debug: bool = False
 
     # ---- TPU-specific knobs (new; no reference equivalent) ----
-    mlp_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    mlp_backend: str = "auto"  # eval backend: 'auto' | 'xla' | 'pallas'
+    train_backend: str = "auto"  # train backend: 'auto' | 'xla' | 'pallas'
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -200,6 +201,8 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     # TPU-native extras
     parser.add_argument("--mlp_backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
+    parser.add_argument("--train_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])

@@ -57,6 +57,11 @@ class RenderConfig:
     # bandwidth). Measured a wash at batch 512 and a LOSS at batch 2048 on
     # v5e with the XLA path, so default off; revisit with Pallas kernels.
     remat: bool = False
+    # training-path MLP backend: 'auto' | 'xla' | 'pallas' (fused forward
+    # + custom-VJP Pallas backward, ops/mlp_train_kernel.py). Full-step
+    # v5e: 43.2k rays/s at batch 512 (+10% vs xla) and 46.4k at 2048
+    # (+55%). 'auto' = pallas on TPU, xla on CPU.
+    train_backend: str = "auto"
     # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
     # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
     # selector-matmul posenc + packed transient heads) measures 1.34x
@@ -157,7 +162,46 @@ def render_rays(
         if backend == "auto":
             backend = "pallas" if jax.default_backend() != "cpu" else "xla"
         use_pallas = backend == "pallas" and test_time and not sigma_only
-        if use_pallas:
+        # trainable fused kernels (fine model only; coarse stays XLA)
+        tbackend = cfg.train_backend
+        if tbackend == "auto":
+            tbackend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        use_pallas_train = (tbackend == "pallas"
+                            and not test_time and typ == "fine")
+        if use_pallas_train:
+            from nsff_pl_tpu.ops import mlp_kernel as mk
+            from nsff_pl_tpu.ops import mlp_train_kernel as mtk
+
+            this_flow = tuple(f for f in flow if f in ("fw", "bw"))
+            has_a = a_embedded is not None
+            ftrain = mtk.make_fused_nerf_train(
+                n_samples_, use_viewdir=cfg.use_viewdir, encode_a=has_a,
+                encode_t=output_transient, output_flow=this_flow,
+                n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+                n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
+                flow_scale=cfg.flow_scale)
+            packed = ftrain(model_params, xyz,
+                            dir_embedded if cfg.use_viewdir else None,
+                            a_embedded if has_a else None,
+                            t_embedded if output_transient else None)
+            un = mk.unpack_fused(packed, encode_t=output_transient,
+                                 output_flow=this_flow)
+            static_rgbs = un["static_rgbs"]
+            static_sigmas_raw = un["static_sigmas_raw"]
+            results[f"static_rgbs_{typ}"] = static_rgbs
+            if output_transient:
+                transient_rgbs = un["transient_rgbs"]
+                transient_sigmas_raw = un["transient_sigmas_raw"]
+                results[f"transient_rgbs_{typ}"] = transient_rgbs
+                if "fw" in this_flow:
+                    far_mask = (zs > Z_FAR)[..., None]
+                    transient_flows_fw = jnp.where(
+                        far_mask, 0.0, un["transient_flows_fw"])
+                    transient_flows_bw = jnp.where(
+                        far_mask, 0.0, un["transient_flows_bw"])
+                    results["transient_flows_fw"] = transient_flows_fw
+                    results["transient_flows_bw"] = transient_flows_bw
+        elif use_pallas:
             # fused posenc+dual-tower Pallas kernel (ops/mlp_kernel.py)
             from nsff_pl_tpu.ops import mlp_kernel as mk
 
@@ -268,15 +312,33 @@ def render_rays(
                     SLOWER on v5e: the concats materialize what these
                     broadcasts let XLA fuse.)"""
                     ts_shift = jnp.clip(ts + t_shift, 0, cfg.max_t)
-                    t_emb_w = _expand(
-                        nerf_m.embedding_lookup(embeddings["t"], ts_shift),
-                        n_samples_)
-                    tr_w = _maybe_remat(
-                        lambda p, xe, te: nerf_m.transient_forward(
-                            p, xe, te, output_flow=(which_flow,),
-                            flow_scale=cfg.flow_scale,
-                            compute_dtype=cfg.dtype))(
-                        model_params, _embed_xyz(cfg, xyz_w_pts), t_emb_w)
+                    t_emb_ray = nerf_m.embedding_lookup(embeddings["t"],
+                                                        ts_shift)
+                    if use_pallas_train:
+                        from nsff_pl_tpu.ops import mlp_train_kernel as mtk
+
+                        ft_w = mtk.make_fused_nerf_train(
+                            n_samples_, use_viewdir=cfg.use_viewdir,
+                            encode_a=False, encode_t=True,
+                            output_flow=(which_flow,),
+                            n_emb_xyz=cfg.N_emb_xyz,
+                            s_emb_xyz=cfg.S_emb_xyz,
+                            n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a,
+                            n_tau=cfg.N_tau, flow_scale=cfg.flow_scale,
+                            static_branch=False)
+                        pk = ft_w(model_params, xyz_w_pts, None, None,
+                                  t_emb_ray)
+                        tr_w = {"rgb": pk[..., 4:7], "sigma": pk[..., 7],
+                                f"flow_{which_flow}": pk[..., 8:11]}
+                    else:
+                        t_emb_w = _expand(t_emb_ray, n_samples_)
+                        tr_w = _maybe_remat(
+                            lambda p, xe, te: nerf_m.transient_forward(
+                                p, xe, te, output_flow=(which_flow,),
+                                flow_scale=cfg.flow_scale,
+                                compute_dtype=cfg.dtype))(
+                            model_params, _embed_xyz(cfg, xyz_w_pts),
+                            t_emb_w)
                     flows_w = jnp.where((zs > Z_FAR)[..., None], 0.0,
                                         tr_w[f"flow_{which_flow}"])
                     noise_w = (jax.random.normal(k_w, tr_w["sigma"].shape)

@@ -118,6 +118,7 @@ def make_fused_nerf_eval(
     skips=(4,),
     block_rows: int = DEFAULT_BLOCK_ROWS,
     padded: bool = True,
+    static_branch: bool = True,
 ):
     """Build the fused evaluator.
 
@@ -136,9 +137,10 @@ def make_fused_nerf_eval(
         block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
     rays_per_blk = block_rows // n_samples
 
-    static_names = [f"static_xyz_{i}" for i in range(D)] + \
-        ["static_xyz_final"] + (["static_dir"] if use_viewdir else []) + \
-        ["static_sigma", "static_rgb"]
+    static_names = ([f"static_xyz_{i}" for i in range(D)]
+                    + ["static_xyz_final"]
+                    + (["static_dir"] if use_viewdir else [])
+                    + ["static_sigma", "static_rgb"]) if static_branch else []
     transient_names = ([f"transient_xyz_{i}" for i in range(D)]
                        + ["transient_xyz_final", "transient_heads"]
                        ) if encode_t else []
@@ -153,8 +155,8 @@ def make_fused_nerf_eval(
         pe_valid_ref = next(it)
         t_sel_ref = next(it) if (encode_t and padded) else None
         xyz_ref = next(it)
-        dir_ref = next(it) if use_viewdir else None
-        a_ref = next(it) if encode_a else None
+        dir_ref = next(it) if (use_viewdir and static_branch) else None
+        a_ref = next(it) if (encode_a and static_branch) else None
         t_ref = next(it) if encode_t else None
         wb = {}
         for name in weight_names:
@@ -201,23 +203,27 @@ def make_fused_nerf_eval(
             return h
 
         # ---- static branch ----
-        h = tower("static_xyz", xyz_pad)
-        w, b = wb["static_sigma"]
-        static_sigma = _mm(h, w, b)  # (BLK, 1) f32
-        w, b = wb["static_xyz_final"]
-        feat = _mm(h, w, b).astype(jnp.bfloat16)
-        if use_viewdir:
-            parts = [feat, pad_seg(bcast(dir_ref).astype(jnp.bfloat16))]
-            if encode_a:
-                parts.append(pad_seg(bcast(a_ref).astype(jnp.bfloat16)))
-            w, b = wb["static_dir"]
-            feat = jnp.maximum(
-                _mm(jnp.concatenate(parts, -1), w, b), 0.0
-            ).astype(jnp.bfloat16)
-        w, b = wb["static_rgb"]
-        static_rgb = jax.nn.sigmoid(_mm(feat, w, b))  # (BLK, 3) f32
-
-        cols = [static_rgb, static_sigma]
+        if static_branch:
+            h = tower("static_xyz", xyz_pad)
+            w, b = wb["static_sigma"]
+            static_sigma = _mm(h, w, b)  # (BLK, 1) f32
+            w, b = wb["static_xyz_final"]
+            feat = _mm(h, w, b).astype(jnp.bfloat16)
+            if use_viewdir:
+                parts = [feat, pad_seg(bcast(dir_ref).astype(jnp.bfloat16))]
+                if encode_a:
+                    parts.append(pad_seg(bcast(a_ref).astype(jnp.bfloat16)))
+                w, b = wb["static_dir"]
+                feat = jnp.maximum(
+                    _mm(jnp.concatenate(parts, -1), w, b), 0.0
+                ).astype(jnp.bfloat16)
+            w, b = wb["static_rgb"]
+            static_rgb = jax.nn.sigmoid(_mm(feat, w, b))  # (BLK, 3) f32
+            cols = [static_rgb, static_sigma]
+        else:
+            # transient-only evaluation keeps the 16-wide packed layout
+            # with the static slots zeroed
+            cols = [jnp.zeros((block_rows, 4), jnp.float32)]
 
         # ---- transient branch ----
         n_tr_heads = 4 + 3 * (("fw" in output_flow) + ("bw" in output_flow))
@@ -300,10 +306,10 @@ def make_fused_nerf_eval(
         args.append(xyz_flat)
         ray_spec = lambda c: pl.BlockSpec(  # noqa: E731
             (rays_per_blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        if use_viewdir:
+        if use_viewdir and static_branch:
             in_specs.append(ray_spec(dir_emb.shape[-1]))
             args.append(dir_emb)
-        if encode_a:
+        if encode_a and static_branch:
             in_specs.append(ray_spec(a_emb.shape[-1]))
             args.append(a_emb)
         if encode_t:

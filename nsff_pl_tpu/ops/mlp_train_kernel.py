@@ -56,6 +56,7 @@ def make_fused_nerf_train(
     skips=(4,),
     block_rows: int = 1024,
     bwd_block_rows: int = 512,
+    static_branch: bool = True,
 ):
     """Build the trainable fused evaluator with a Pallas backward.
 
@@ -75,9 +76,10 @@ def make_fused_nerf_train(
     n_tr_heads = 4 + n_flow
 
     # weight list (packed heads, padded layouts — mirrors the eval kernel)
-    static_names = [f"static_xyz_{i}" for i in range(D)] + \
-        ["static_xyz_final"] + (["static_dir"] if use_viewdir else []) + \
-        ["static_sigma", "static_rgb"]
+    static_names = ([f"static_xyz_{i}" for i in range(D)]
+                    + ["static_xyz_final"]
+                    + (["static_dir"] if use_viewdir else [])
+                    + ["static_sigma", "static_rgb"]) if static_branch else []
     transient_names = ([f"transient_xyz_{i}" for i in range(D)]
                        + ["transient_xyz_final", "transient_heads"]
                        ) if encode_t else []
@@ -87,7 +89,8 @@ def make_fused_nerf_train(
         n_samples, use_viewdir=use_viewdir, encode_a=encode_a,
         encode_t=encode_t, output_flow=output_flow, n_emb_xyz=n_emb_xyz,
         s_emb_xyz=s_emb_xyz, n_emb_dir=n_emb_dir, n_a=n_a, n_tau=n_tau,
-        flow_scale=flow_scale, D=D, skips=skips, block_rows=block_rows)
+        flow_scale=flow_scale, D=D, skips=skips, block_rows=block_rows,
+        static_branch=static_branch)
 
     # ------------------------------------------------------------------
     # padded weight prep shared by fwd(already in eval) and bwd
@@ -387,7 +390,9 @@ def make_fused_nerf_train(
 
         return bwd_kernel
 
-    bwd_kernels = {"static": make_branch_bwd("static")}
+    bwd_kernels = {}
+    if static_branch:
+        bwd_kernels["static"] = make_branch_bwd("static")
     if encode_t:
         bwd_kernels["transient"] = make_branch_bwd("transient")
 
@@ -509,16 +514,19 @@ def make_fused_nerf_train(
         def per_ray(row_grads):
             return row_grads[:n * s].reshape(n, s, -1).sum(axis=1)
 
-        outs_s = _branch_bwd_host("static", pw, xyz_flat, dir_emb, a_emb,
-                                  t_emb, g_flat, rows, n_blocks, n_rays_pad)
-        it = iter(outs_s)
         dws = {}
-        for name in static_names:
-            dws[name] = {"w": next(it), "b": next(it)}
-        dxyz = next(it)
-        ddir = per_ray(next(it)) if use_viewdir else None
-        da = per_ray(next(it)) if encode_a else None
-        dt = None
+        ddir = da = dt = None
+        dxyz = jnp.zeros((rows, 3), F32)
+        if static_branch:
+            outs_s = _branch_bwd_host("static", pw, xyz_flat, dir_emb,
+                                      a_emb, t_emb, g_flat, rows, n_blocks,
+                                      n_rays_pad)
+            it = iter(outs_s)
+            for name in static_names:
+                dws[name] = {"w": next(it), "b": next(it)}
+            dxyz = next(it)
+            ddir = per_ray(next(it)) if use_viewdir else None
+            da = per_ray(next(it)) if encode_a else None
         if encode_t:
             outs_t = _branch_bwd_host("transient", pw, xyz_flat, dir_emb,
                                       a_emb, t_emb, g_flat, rows, n_blocks,
