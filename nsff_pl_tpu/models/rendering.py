@@ -158,14 +158,19 @@ def render_rays(
         t_emb_ = _expand(t_embedded, n_samples_) if output_transient else None
 
         sigma_only = typ == "coarse" and test_time
+        # the fused kernels compute in bf16; 'auto' only selects them when
+        # the user asked for bf16 compute (float32 runs keep XLA so the
+        # precision contract of --dtype is honored)
+        on_tpu = jax.default_backend() != "cpu"
+        is_bf16 = cfg.compute_dtype == "bfloat16"
         backend = cfg.mlp_backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+            backend = "pallas" if (on_tpu and is_bf16) else "xla"
         use_pallas = backend == "pallas" and test_time and not sigma_only
         # trainable fused kernels (fine model only; coarse stays XLA)
         tbackend = cfg.train_backend
         if tbackend == "auto":
-            tbackend = "pallas" if jax.default_backend() != "cpu" else "xla"
+            tbackend = "pallas" if (on_tpu and is_bf16) else "xla"
         use_pallas_train = (tbackend == "pallas"
                             and not test_time and typ == "fine")
         if use_pallas_train:
