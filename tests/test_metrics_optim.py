@@ -2,6 +2,7 @@
 `utils/__init__.py:59-76`)."""
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from nsff_pl_tpu.config import NSFFConfig
@@ -85,3 +86,88 @@ def test_warmup_ramp():
                      warmup_multiplier=2.0)
     lrs = _lr_at_epochs(cfg, [0, 2, 4])
     np.testing.assert_allclose(lrs, [1.0, 1.5, 2.0], rtol=1e-6)
+    # const keeps base_lr * multiplier after the ramp
+    # (warmup_scheduler.py:30)
+    np.testing.assert_allclose(_lr_at_epochs(cfg, [5, 9]), [2.0, 2.0],
+                               rtol=1e-6)
+
+
+def test_warmup_cosine_golden():
+    """Golden sequence vs the reference GradualWarmupScheduler semantics
+    (warmup_scheduler.py:23-32): ramp over epochs 0..T inclusive, then the
+    after-scheduler with its OWN epoch counter from 0 and base_lr*mult."""
+    cfg = NSFFConfig(lr=1.0, lr_scheduler="cosine", num_epochs=10,
+                     warmup_epochs=2, warmup_multiplier=2.0)
+    lrs = _lr_at_epochs(cfg, [0, 1, 2, 3, 4, 8])
+
+    def cos_after(e):  # CosineAnnealingLR at epoch e with base 2.0
+        return EPS + (2.0 - EPS) * 0.5 * (1 + np.cos(np.pi * e / 10))
+
+    expected = [1.0, 1.5, 2.0, cos_after(0), cos_after(1), cos_after(5)]
+    np.testing.assert_allclose(lrs, expected, rtol=1e-5)
+
+
+def test_warmup_steplr_golden():
+    """MultiStepLR milestones are counted in the after-scheduler's own
+    epoch counter (which starts when the warmup hands off)."""
+    cfg = NSFFConfig(lr=1.0, lr_scheduler="steplr", decay_step=[1, 3],
+                     decay_gamma=0.1, warmup_epochs=2, warmup_multiplier=2.0)
+    # e=3 -> after(0)=2.0; e=4 -> after(1)=0.2; e=6 -> after(3)=0.02
+    np.testing.assert_allclose(_lr_at_epochs(cfg, [0, 1, 2, 3, 4, 6]),
+                               [1.0, 1.5, 2.0, 2.0, 0.2, 0.02], rtol=1e-5)
+
+
+def test_warmup_skipped_for_radam_ranger():
+    """utils/__init__.py:72 — radam/ranger never get the warmup wrap."""
+    for opt in ("radam", "ranger"):
+        cfg = NSFFConfig(lr=1.0, optimizer=opt, lr_scheduler="const",
+                         warmup_epochs=4, warmup_multiplier=2.0)
+        assert _lr_at_epochs(cfg, [0, 2, 6]) == [1.0, 1.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# optimizer coverage (`utils/__init__.py:24-57`)
+# ---------------------------------------------------------------------------
+
+OPTIMIZERS = ["sgd", "adam", "radam", "ranger"]
+SCHEDULERS = ["const", "steplr", "cosine", "poly"]
+
+
+@pytest.mark.parametrize("optimizer", OPTIMIZERS)
+@pytest.mark.parametrize("scheduler", SCHEDULERS)
+def test_optimizer_scheduler_matrix(optimizer, scheduler):
+    """Every optimizer x scheduler combo must step without error and
+    actually move the parameters (the round-1 ranger crash regression)."""
+    from nsff_pl_tpu.training.optim import make_optimizer
+
+    cfg = NSFFConfig(lr=1e-2, optimizer=optimizer, lr_scheduler=scheduler,
+                     num_epochs=4, decay_step=[2], warmup_epochs=1,
+                     warmup_multiplier=2.0)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    state = tx.init(params)
+    for _ in range(7):  # crosses the ranger sync_period=6 boundary
+        grads = {"w": jnp.full((4, 3), 0.5), "b": jnp.full((3,), 0.5)}
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert all(np.isfinite(np.asarray(v)).all() for v in params.values())
+    assert not np.allclose(np.asarray(params["w"]), 1.0)
+
+
+def test_lookahead_golden_sequence():
+    """Hand-computed Lookahead(k=2, alpha=0.5) over SGD(lr=1), grad=1:
+    fast steps -1 each inner update; every 2nd step snaps to the slow
+    weights slow += 0.5*(fast-slow)."""
+    from nsff_pl_tpu.training.optim import lookahead
+
+    tx = lookahead(optax.sgd(1.0), sync_period=2, slow_step_size=0.5)
+    p = {"w": jnp.zeros(())}
+    state = tx.init(p)
+    seq = []
+    for _ in range(6):
+        u, state = tx.update({"w": jnp.ones(())}, state, p)
+        p = optax.apply_updates(p, u)
+        seq.append(float(p["w"]))
+    # fast: -1; sync: slow=0+0.5*(-2-0)=-1, fast:=-1; fast: -2;
+    # sync: slow=-1+0.5*(-3+1)=-2 ...
+    np.testing.assert_allclose(seq, [-1, -1, -2, -2, -3, -3], atol=1e-6)
