@@ -163,6 +163,10 @@ def main(args):
         ssims = np.zeros((n_frames, 2))
         lpipss = np.full((n_frames, 2), np.nan)
         lpips_model = metrics_lib.get_lpips_model()
+        if lpips_model is None:
+            print("LPIPS unavailable (no offline AlexNet-LPIPS weights in "
+                  "this environment); reporting n/a — PSNR/SSIM are "
+                  "unaffected (`metrics.py:35-49`)", flush=True)
 
     imgs, depths = [], []
     last_results = None
@@ -255,7 +259,10 @@ def main(args):
         print("-------------------------------------")
         print(f"PSNR  \t {mean_psnr[0]:.4f} \t {mean_psnr[1]:.4f}")
         print(f"SSIM  \t {mean_ssim[0]:.4f} \t {mean_ssim[1]:.4f}")
-        print(f"LPIPS \t {mean_lpips[0]:.4f} \t {mean_lpips[1]:.4f}")
+        def _fmt(v):
+            return "n/a" if np.isnan(v) else f"{v:.4f}"
+
+        print(f"LPIPS \t {_fmt(mean_lpips[0])} \t {_fmt(mean_lpips[1])}")
 
     video_path = os.path.join(dir_name,
                               f"{args.scene_name}.{args.video_format}")

@@ -62,10 +62,9 @@ def _dilate_along_samples(w, thickness: int):
     t = max(thickness, 1)
     if t == 1:
         return w
-    # 'same' correlation with a ones kernel; centering follows conv
-    # convention: pad (t-1)//2 left, t//2 right for even t (torch/kornia
-    # center the kernel at index t//2 for odd t; kornia uses (t-1)//2 both
-    # sides only for odd kernels — thickness is a small odd prior in practice)
+    # 'same' correlation with a ones kernel; kornia's _compute_padding
+    # pads front=(t-1)//2, rear=(t-1)-(t-1)//2 = t//2, for odd AND even t
+    # — this matches it exactly (golden-tested for t=2..5 in test_loss.py)
     pad_l = (t - 1) // 2
     pad_r = t - 1 - pad_l
     wp = jnp.pad(w, ((0, 0), (pad_l, pad_r)))

@@ -269,9 +269,15 @@ class NSFFSystem:
                 pending.clear()
                 t0 = time.time()
 
+            # validation cadence: every val_every_steps steps when set,
+            # otherwise once per epoch (the reference's Lightning default)
+            if cfg.val_every_steps > 0:
+                if (step + 1) % cfg.val_every_steps == 0:
+                    self.validate((step + 1) / self.steps_per_epoch)
             if (step + 1) % self.steps_per_epoch == 0:
                 epoch = (step + 1) // self.steps_per_epoch
-                self.validate(epoch)
+                if cfg.val_every_steps <= 0:
+                    self.validate(epoch)
                 self.save()
         if profiling:  # loop shorter than the trace window
             jax.profiler.stop_trace()

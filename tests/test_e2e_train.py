@@ -66,3 +66,19 @@ def test_full_nsff_training_runs(scene, tmp_path):
     assert int(sys2.state.step) == sys_.steps_per_epoch
     state2 = sys2.fit(log_every=1000, progress=False)
     assert int(state2.step) == 2 * sys_.steps_per_epoch
+
+
+def test_val_every_steps_cadence(scene, tmp_path, monkeypatch):
+    """--val_every_steps N validates every N steps instead of per epoch
+    (config.py val_every_steps)."""
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), num_epochs=2, val_every_steps=5,
+               exp_name="e2e_ves")
+    sys_ = NSFFSystem(cfg)
+    calls = []
+    monkeypatch.setattr(sys_, "validate", lambda epoch: calls.append(epoch))
+    sys_.fit(log_every=1000, progress=False)
+    # 2 epochs x steps_per_epoch steps; one validation per 5 steps
+    total = 2 * sys_.steps_per_epoch
+    assert len(calls) == total // 5

@@ -48,7 +48,7 @@ def _run_eval(scene, ckpt, outdir, split, scene_name, extra=()):
     return os.path.join(outdir, "results", "monocular", scene_name)
 
 
-def test_eval_test_split(trained):
+def test_eval_test_split(trained, capsys):
     scene, ckpt, tmp = trained
     out = _run_eval(scene, ckpt, tmp, "test", "t1", ("--save_depth",))
     for f in ("000.png", "002.png", "depth_000.png", "t1.gif",
@@ -57,6 +57,15 @@ def test_eval_test_split(trained):
     psnr = np.load(os.path.join(out, "psnr.npy"))
     assert psnr.shape == (3, 2)
     assert np.isfinite(psnr[:, 0]).all() and (psnr[:, 0] > 5).all()
+    # LPIPS degrades gracefully without offline weights: an explicit
+    # notice + 'n/a' in the table, never a bare nan (`metrics.py:35-49`)
+    from nsff_pl_tpu.training import metrics as metrics_lib
+
+    if metrics_lib.get_lpips_model() is None:
+        stdout = capsys.readouterr().out
+        assert "LPIPS unavailable" in stdout
+        assert "n/a" in stdout
+        assert "LPIPS \t nan" not in stdout
 
 
 def test_eval_interp_split(trained):

@@ -188,3 +188,17 @@ def test_priority_weights_scale_loss():
                           weights=2 * jnp.ones(8))
     np.testing.assert_allclose(float(out2["col_l"]),
                                2 * float(out1["col_l"]), rtol=1e-6)
+
+
+def test_dilate_matches_kornia_padding_even_and_odd():
+    """Golden check of _dilate_along_samples vs kornia filter2d semantics
+    (losses.py:63,92-95): _compute_padding pads front=(t-1)//2, rear=t//2
+    and correlates with a ones window — for even AND odd thickness."""
+    rng = np.random.RandomState(3)
+    w = rng.rand(2, 9).astype(np.float32)
+    for t in (2, 3, 4, 5):
+        pad_front, pad_rear = (t - 1) // 2, t // 2
+        wp = np.pad(w, ((0, 0), (pad_front, pad_rear)))
+        expected = np.stack([wp[:, i:i + t].sum(1) for i in range(9)], 1)
+        out = np.asarray(_dilate_along_samples(jnp.asarray(w), t))
+        np.testing.assert_allclose(out, expected, rtol=1e-6, err_msg=f"t={t}")
