@@ -79,6 +79,26 @@ def _embed_xyz(cfg: RenderConfig, xyz):
     return posenc(xyz, cfg.S_emb_xyz, cfg.N_emb_xyz)
 
 
+def _shard_over_rays(fn, mesh):
+    """Wrap a fused Pallas evaluator fn(params, xyz, dir, a, t) -> packed
+    in `shard_map` over the data mesh: rays shard on the row axis, weights
+    replicate. Pallas custom calls don't auto-partition under GSPMD, so
+    this is what keeps the kernels alive multi-chip (docs/ROADMAP.md).
+
+    check_rep=False is required (custom_vjp has no replication rule); the
+    shard_map transpose still psums the replicated params' cotangent, so
+    gradients match the unsharded path (tests/test_sharding.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from nsff_pl_tpu.parallel.mesh import DATA_AXIS
+
+    ray = PS(DATA_AXIS)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(PS(), ray, ray, ray, ray),
+                     out_specs=ray, check_rep=False)
+
+
 def _expand(v, n_samples: int):
     """(N, C) per-ray vector -> (N, S, C) per-sample (repeat over samples,
     cf. the reference's einops `repeat` at `rendering.py:153,164-168`)."""
@@ -99,6 +119,7 @@ def render_rays(
     vis_poses: Optional[jnp.ndarray] = None,
     vis_K: Optional[jnp.ndarray] = None,
     view_dir: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays. See the reference `render_rays`
     (`rendering.py:52-362`) for the semantic contract; this function matches
@@ -115,6 +136,9 @@ def render_rays(
             transient sigma (`rendering.py:191-200`)
         view_dir: optional (N, 3) override of the direction used for the
             view-dependence embedding (`rendering.py:308` kwargs['view_dir'])
+        mesh: optional `jax.sharding.Mesh` — when the Pallas train backend
+            is active, its kernels are shard_map'ed over the mesh's data
+            axis (rays sharded, weights replicated)
     """
     output_transient = output_transient and cfg.encode_t
     flow = tuple(output_transient_flow) if output_transient else ()
@@ -185,6 +209,8 @@ def render_rays(
                 n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
                 flow_scale=cfg.flow_scale)
+            if mesh is not None:
+                ftrain = _shard_over_rays(ftrain, mesh)
             packed = ftrain(model_params, xyz,
                             dir_embedded if cfg.use_viewdir else None,
                             a_embedded if has_a else None,
@@ -331,6 +357,8 @@ def render_rays(
                             n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a,
                             n_tau=cfg.N_tau, flow_scale=cfg.flow_scale,
                             static_branch=False)
+                        if mesh is not None:
+                            ft_w = _shard_over_rays(ft_w, mesh)
                         pk = ft_w(model_params, xyz_w_pts, None, None,
                                   t_emb_ray)
                         tr_w = {"rgb": pk[..., 4:7], "sigma": pk[..., 7],

@@ -64,14 +64,6 @@ def make_train_step(
     hard-sampling distribution, `t` the scheduler-chosen frame, and
     metrics contains the per-term losses + PSNR (`train.py:187-196`).
     """
-    # Pallas custom calls do not auto-partition under a sharded jit; on a
-    # mesh the 'auto' train backend falls back to XLA (shard_map-wrapped
-    # kernels are the planned fix — docs/ROADMAP.md).
-    if mesh is not None and render_cfg.train_backend == "auto":
-        import dataclasses
-
-        render_cfg = dataclasses.replace(render_cfg, train_backend="xla")
-
     def step_fn(state: TrainState, table, weights, Ks, Ps, rng, t):
         k_sample, k_render = jax.random.split(rng)
         batch = _sample_batch(table, weights, k_sample, t, batch_size,
@@ -88,7 +80,8 @@ def make_train_step(
                 k_render, render_cfg,
                 test_time=False,
                 output_transient=output_transient,
-                output_transient_flow=output_transient_flow)
+                output_transient_flow=output_transient_flow,
+                mesh=mesh)
             loss_d = compute_losses(
                 results, batch, loss_cfg, epoch=epoch,
                 output_transient_flow=output_transient_flow,

@@ -16,7 +16,7 @@ from nsff_pl_tpu.training.optim import make_optimizer
 from nsff_pl_tpu.training.step import TrainState, make_train_step
 
 
-def _setup(batch_size):
+def _setup(batch_size, train_backend="auto"):
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 2)
     params = {
@@ -26,7 +26,8 @@ def _setup(batch_size):
         "embedding_t": nerf_m.init_embedding(ks[1], 4, 16),
     }
     rcfg = RenderConfig(N_samples=8, use_viewdir=False, encode_t=True,
-                        max_t=3, img_wh=(16, 12))
+                        max_t=3, img_wh=(16, 12), N_tau=16,
+                        train_backend=train_backend)
     tx = make_optimizer(NSFFConfig(lr_scheduler="cosine", num_epochs=2), 10)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
@@ -42,15 +43,20 @@ def _setup(batch_size):
                              jnp.asarray(Ks), jnp.asarray(Ps))
 
 
+@pytest.mark.parametrize("train_backend", ["xla", "pallas"])
 @pytest.mark.parametrize("n_devices", [2, 8])
-def test_sharded_step_matches_unsharded(n_devices):
+def test_sharded_step_matches_unsharded(n_devices, train_backend):
+    """The sharded step must match unsharded numerics for BOTH backends:
+    XLA (GSPMD auto-partitioned) and Pallas (shard_map-wrapped kernels,
+    interpret mode on CPU). The Pallas path's gradient equality proves
+    the replicated-weight cotangent is correctly psum'ed across shards."""
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough devices")
     batch_size = 32
     flow = ("fw", "bw", "disocc")
 
     def run(mesh):
-        state, tx, rcfg, data = _setup(batch_size)
+        state, tx, rcfg, data = _setup(batch_size, train_backend)
         step = make_train_step(
             rcfg, LossConfig(max_t=3), tx, output_transient=True,
             output_transient_flow=flow, steps_per_epoch=10,
@@ -66,10 +72,13 @@ def test_sharded_step_matches_unsharded(n_devices):
                                rtol=1e-4)
     np.testing.assert_allclose(float(m_n["psnr"]), float(m_1["psnr"]),
                                rtol=1e-4)
-    # updated parameters identical across sharding configurations
+    # updated parameters identical across sharding configurations (the
+    # pallas dW accumulators are f32 but block partitioning changes the
+    # accumulation order -> slightly looser tolerance there)
+    atol = 1e-5 if train_backend == "xla" else 1e-4
     w1 = np.asarray(state_1.params["nerf_fine"]["static_xyz_0"]["w"])
     wn = np.asarray(state_n.params["nerf_fine"]["static_xyz_0"]["w"])
-    np.testing.assert_allclose(wn, w1, atol=1e-5)
+    np.testing.assert_allclose(wn, w1, atol=atol)
 
 
 def test_mesh_construction():
