@@ -197,7 +197,31 @@ def render_rays(
             tbackend = "pallas" if (on_tpu and is_bf16) else "xla"
         use_pallas_train = (tbackend == "pallas"
                             and not test_time and typ == "fine")
-        if use_pallas_train:
+        if tbackend == "stub" and not test_time and typ == "fine":
+            # profiling aid: replaces the MLP evaluation with a trivial
+            # params-dependent map of the right shape, so a step timed with
+            # train_backend='stub' measures ONLY the non-MLP "glue"
+            # (sampling, compositing, warping, losses, optimizer) incl. its
+            # backward. Not a real model — never use for training.
+            w0 = model_params["static_xyz_0"]["w"][:3, :16]
+            packed = jnp.tanh(xyz @ w0)
+            this_flow = tuple(f for f in flow if f in ("fw", "bw"))
+            static_rgbs = packed[..., 0:3]
+            static_sigmas_raw = packed[..., 3]
+            results[f"static_rgbs_{typ}"] = static_rgbs
+            if output_transient:
+                transient_rgbs = packed[..., 4:7]
+                transient_sigmas_raw = packed[..., 7]
+                results[f"transient_rgbs_{typ}"] = transient_rgbs
+                if "fw" in this_flow:
+                    far_mask = (zs > Z_FAR)[..., None]
+                    transient_flows_fw = jnp.where(
+                        far_mask, 0.0, 0.01 * packed[..., 8:11])
+                    transient_flows_bw = jnp.where(
+                        far_mask, 0.0, 0.01 * packed[..., 11:14])
+                    results["transient_flows_fw"] = transient_flows_fw
+                    results["transient_flows_bw"] = transient_flows_bw
+        elif use_pallas_train:
             from nsff_pl_tpu.ops import mlp_kernel as mk
             from nsff_pl_tpu.ops import mlp_train_kernel as mtk
 
@@ -345,7 +369,12 @@ def render_rays(
                     ts_shift = jnp.clip(ts + t_shift, 0, cfg.max_t)
                     t_emb_ray = nerf_m.embedding_lookup(embeddings["t"],
                                                         ts_shift)
-                    if use_pallas_train:
+                    if tbackend == "stub":
+                        w0 = model_params["static_xyz_0"]["w"][:3, :16]
+                        pk = jnp.tanh(xyz_w_pts @ w0)
+                        tr_w = {"rgb": pk[..., 4:7], "sigma": pk[..., 7],
+                                f"flow_{which_flow}": 0.01 * pk[..., 8:11]}
+                    elif use_pallas_train:
                         from nsff_pl_tpu.ops import mlp_train_kernel as mtk
 
                         ft_w = mtk.make_fused_nerf_train(

@@ -31,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsff_pl_tpu.ops.mlp_kernel import (SEG, _mm, _pad_rows, _posenc_tables,
+from nsff_pl_tpu.ops.mlp_kernel import (SEG, _mm, _pad_rows,
+                                        _posenc_tables, _sin_poly,
                                         make_fused_nerf_eval)
 from nsff_pl_tpu.ops.posenc import posenc_freqs
 
@@ -185,7 +186,7 @@ def make_fused_nerf_train(
             it = iter(refs)
             pe_sel = next(it)[...]
             pe_id = next(it)[...]
-            pe_sin = next(it)[...]
+            pe_phase = next(it)[...]
             pe_valid = next(it)[...]
             t_sel = next(it)[...] if (encode_t and branch == "transient") \
                 else None
@@ -220,9 +221,9 @@ def make_fused_nerf_train(
             # ---- shared: positional encoding recompute ----
             x = xyz_ref[...]
             xs = jnp.dot(x, pe_sel, preferred_element_type=F32)
+            # single-transcendental posenc: cos lanes carry phase pi/2
             pe = jnp.where(pe_id > 0, xs,
-                           jnp.where(pe_sin > 0, jnp.sin(xs),
-                                     jnp.cos(xs))) * pe_valid
+                           _sin_poly(xs + pe_phase)) * pe_valid
 
             def bcast(ref):
                 return ref[...]  # embeddings are pre-expanded per row
@@ -380,10 +381,10 @@ def make_fused_nerf_train(
                     jnp.dot(dtx.astype(BF16), t_sel.T.astype(BF16),
                             preferred_element_type=F32))
 
+            # d sin(xs+phase)/dxs = cos(xs+phase) — one transcendental
             dxs = jnp.where(pe_id > 0, dpe * pe_valid,
-                            jnp.where(pe_sin > 0,
-                                      dpe * pe_valid * jnp.cos(xs),
-                                      -dpe * pe_valid * jnp.sin(xs)))
+                            dpe * pe_valid
+                            * _sin_poly(xs + pe_phase + 1.5707963267948966))
             dxyz_ref[...] = jnp.dot(dxs.astype(BF16),
                                     pe_sel.T.astype(BF16),
                                     preferred_element_type=F32)
@@ -402,7 +403,7 @@ def make_fused_nerf_train(
     def _branch_bwd_host(branch, pw, xyz_flat, dir_emb, a_emb, t_emb, g,
                          rows, n_blocks, n_rays_pad):
         names = static_names if branch == "static" else transient_names
-        sel, is_id, is_sin, valid = _posenc_tables(freqs, SEG)
+        sel, is_id, phase, valid = _posenc_tables(freqs, SEG)
 
         const2 = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -412,7 +413,7 @@ def make_fused_nerf_train(
 
         in_specs = [const2((3, SEG)), const2((1, SEG)), const2((1, SEG)),
                     const2((1, SEG))]
-        args = [jnp.asarray(sel), jnp.asarray(is_id), jnp.asarray(is_sin),
+        args = [jnp.asarray(sel), jnp.asarray(is_id), jnp.asarray(phase),
                 jnp.asarray(valid)]
         if encode_t and branch == "transient":
             tsel = np.zeros((n_tau, SEG), np.float32)
