@@ -227,12 +227,16 @@ def render_rays(
 
             this_flow = tuple(f for f in flow if f in ("fw", "bw"))
             has_a = a_embedded is not None
+            # need_dxyz=False: the main evaluation's xyz are ray-derived
+            # (o + d*z, no parameter dependence), so the xyz cotangent is
+            # dead — the kernel skips the dxs chain and its (rows, 3)
+            # output entirely
             ftrain = mtk.make_fused_nerf_train(
                 n_samples_, use_viewdir=cfg.use_viewdir, encode_a=has_a,
                 encode_t=output_transient, output_flow=this_flow,
                 n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
-                flow_scale=cfg.flow_scale)
+                flow_scale=cfg.flow_scale, need_dxyz=False)
             if mesh is not None:
                 ftrain = _shard_over_rays(ftrain, mesh)
             packed = ftrain(model_params, xyz,

@@ -58,12 +58,19 @@ def make_fused_nerf_train(
     block_rows: int = 1024,
     bwd_block_rows: int = 512,
     static_branch: bool = True,
+    need_dxyz: bool = True,
 ):
     """Build the trainable fused evaluator with a Pallas backward.
 
     Returns fn(params, xyz, dir_emb, a_emb, t_emb) -> (N, S, 16) packed
     exactly like `make_fused_nerf_eval`; differentiable in params, xyz and
     the per-ray embeddings.
+
+    need_dxyz=False skips the in-kernel dxs/dxyz chain and returns zeros
+    for the xyz cotangent — correct ONLY when the caller's xyz does not
+    depend on trainable parameters (the main evaluation at ray-derived
+    points; the reference analog is that `xyz` there is pure data). The
+    warped evaluations (xyz + flow(params)) must keep the default.
     """
     freqs = tuple(float(f) for f in posenc_freqs(s_emb_xyz, n_emb_xyz))
     xyz_w = 3 + 6 * n_emb_xyz
@@ -71,7 +78,16 @@ def make_fused_nerf_train(
     if block_rows % n_samples != 0:
         block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
     rays_per_blk = block_rows // n_samples
+    # backward blocks cover WHOLE rays so per-ray conditioning loads as a
+    # small tile and the embedding gradients reduce over samples in-kernel
     BWD_BLK = bwd_block_rows
+    if BWD_BLK % n_samples != 0:
+        BWD_BLK = max(n_samples, (BWD_BLK // n_samples) * n_samples)
+    bwd_rays = BWD_BLK // n_samples
+    if bwd_rays % 8 != 0:
+        # per-ray (bwd_rays, C) tiles need a sublane-aligned ray count
+        bwd_rays = max(8, ((bwd_rays + 7) // 8) * 8)
+        BWD_BLK = bwd_rays * n_samples
 
     n_flow = 3 * (("fw" in output_flow) + ("bw" in output_flow))
     n_tr_heads = 4 + n_flow
@@ -205,7 +221,7 @@ def make_fused_nerf_train(
             dW = {}
             for name in names:
                 dW[name] = (next(it), next(it))
-            dxyz_ref = next(it)
+            dxyz_ref = next(it) if need_dxyz else None
             ddir_ref = next(it) if (use_viewdir and branch == "static") \
                 else None
             da_ref = next(it) if (encode_a and branch == "static") else None
@@ -218,60 +234,75 @@ def make_fused_nerf_train(
                     dW[name][0][...] = jnp.zeros_like(dW[name][0])
                     dW[name][1][...] = jnp.zeros_like(dW[name][1])
 
-            # ---- shared: positional encoding recompute ----
+            # ---- shared: positional encoding recompute (poly sin) ----
             x = xyz_ref[...]
             xs = jnp.dot(x, pe_sel, preferred_element_type=F32)
-            # single-transcendental posenc: cos lanes carry phase pi/2
             pe = jnp.where(pe_id > 0, xs,
                            _sin_poly(xs + pe_phase)) * pe_valid
 
-            def bcast(ref):
-                return ref[...]  # embeddings are pre-expanded per row
+            def bcast(v):
+                """(bwd_rays, C) per-ray -> (BWD_BLK, C) per-sample."""
+                v = jnp.broadcast_to(v[:, None, :],
+                                     (bwd_rays, n_samples, v.shape[-1]))
+                return v.reshape(BWD_BLK, v.shape[-1])
 
-            def ray_reduce(gg):
-                return gg  # per-row grads; caller reduces over samples
+            def ray_sum(v):
+                """(BWD_BLK, C) -> (bwd_rays, C): in-kernel reduction of
+                per-sample grads to the per-ray embedding grads (blocks
+                cover whole rays)."""
+                return jnp.sum(
+                    v.reshape(bwd_rays, n_samples, v.shape[-1]), axis=1)
 
-            def pad_seg(v):
+            def pad_to_seg(v):
                 if v.shape[-1] == SEG:
                     return v
                 return jnp.concatenate(
-                    [v, jnp.zeros((BWD_BLK, SEG - v.shape[-1]),
+                    [v, jnp.zeros((v.shape[0], SEG - v.shape[-1]),
                                   v.dtype)], -1)
 
             def tower_fwd(prefix, inp):
+                """Recompute with skip layers as SPLIT dots on the padded
+                layout (no (BLK, SEG+256) concat copies)."""
                 acts = [inp]
                 h = inp
                 for i in range(D):
-                    if i in skips:
-                        h = jnp.concatenate([inp, h], -1)
                     w, b = wb[f"{prefix}_{i}"]
-                    h = jnp.maximum(_mm(h, w, b), 0.0).astype(BF16)
+                    if i in skips:
+                        z = (jnp.dot(inp, w[:SEG],
+                                     preferred_element_type=F32)
+                             + jnp.dot(h, w[SEG:SEG + 256],
+                                       preferred_element_type=F32) + b)
+                    else:
+                        z = _mm(h, w, b)
+                    h = jnp.maximum(z, 0.0).astype(BF16)
                     acts.append(h)
                 return acts
 
             def tower_bwd(prefix, acts, dh_last):
                 inp = acts[0]
-                dinp = jnp.zeros((BWD_BLK, inp.shape[-1]), F32)
+                dinp = jnp.zeros((BWD_BLK, SEG), F32)
                 dh = dh_last
                 for i in range(D - 1, -1, -1):
                     w, _ = wb[f"{prefix}_{i}"]
-                    h_out = acts[i + 1]
-                    dz = dh * (h_out.astype(F32) > 0)
-                    h_in = acts[i]
-                    h_in_full = jnp.concatenate([inp, h_in], -1) \
-                        if i in skips else h_in
-                    dW[f"{prefix}_{i}"][0][...] += jnp.dot(
-                        h_in_full.T, dz.astype(BF16),
-                        preferred_element_type=F32)
-                    dW[f"{prefix}_{i}"][1][...] += jnp.sum(dz, 0,
-                                                           keepdims=True)
-                    dfull = jnp.dot(dz.astype(BF16), w.T,
-                                    preferred_element_type=F32)
+                    dz = dh * (acts[i + 1].astype(F32) > 0)
+                    dzb = dz.astype(BF16)
                     if i in skips:
-                        dinp = dinp + dfull[:, :inp.shape[-1]]
-                        dh = dfull[:, inp.shape[-1]:]
+                        dW[f"{prefix}_{i}"][0][0:SEG, :] += jnp.dot(
+                            inp.T, dzb, preferred_element_type=F32)
+                        dW[f"{prefix}_{i}"][0][SEG:SEG + 256, :] += jnp.dot(
+                            acts[i].T, dzb, preferred_element_type=F32)
+                        dW[f"{prefix}_{i}"][1][...] += jnp.sum(
+                            dz, 0, keepdims=True)
+                        dinp = dinp + jnp.dot(dzb, w[:SEG].T,
+                                              preferred_element_type=F32)
+                        dh = jnp.dot(dzb, w[SEG:SEG + 256].T,
+                                     preferred_element_type=F32)
                     else:
-                        dh = dfull
+                        dW[f"{prefix}_{i}"][0][...] += jnp.dot(
+                            acts[i].T, dzb, preferred_element_type=F32)
+                        dW[f"{prefix}_{i}"][1][...] += jnp.sum(
+                            dz, 0, keepdims=True)
+                        dh = jnp.dot(dzb, w.T, preferred_element_type=F32)
                 return dinp + dh
 
             g = g_ref[...]
@@ -284,13 +315,21 @@ def make_fused_nerf_train(
                 w_fin, b_fin = wb["static_xyz_final"]
                 feat0 = _mm(h8, w_fin, b_fin)
                 if use_viewdir:
-                    dir_b = pad_seg(bcast(dir_ref).astype(BF16))
-                    parts = [feat0.astype(BF16), dir_b]
-                    if encode_a:
-                        parts.append(pad_seg(bcast(a_ref).astype(BF16)))
-                    dir_in = jnp.concatenate(parts, -1)
                     w_dir, b_dir = wb["static_dir"]
-                    feat = jnp.maximum(_mm(dir_in, w_dir, b_dir), 0.0)
+                    dir_tile = pad_to_seg(dir_ref[...].astype(BF16))
+                    ray_z = jnp.dot(dir_tile, w_dir[256:256 + SEG],
+                                    preferred_element_type=F32) + b_dir
+                    a_tile = None
+                    if encode_a:
+                        a_tile = pad_to_seg(a_ref[...].astype(BF16))
+                        ray_z = ray_z + jnp.dot(
+                            a_tile, w_dir[256 + SEG:256 + 2 * SEG],
+                            preferred_element_type=F32)
+                    feat0b = feat0.astype(BF16)
+                    zdir = jnp.dot(feat0b, w_dir[:256],
+                                   preferred_element_type=F32) \
+                        + bcast(ray_z)
+                    feat = jnp.maximum(zdir, 0.0)
                 else:
                     feat = feat0
                 featb = feat.astype(BF16)
@@ -308,19 +347,29 @@ def make_fused_nerf_train(
                                 preferred_element_type=F32)
                 if use_viewdir:
                     dz = dfeat * (feat > 0)
-                    dW["static_dir"][0][...] += jnp.dot(
-                        dir_in.T, dz.astype(BF16),
-                        preferred_element_type=F32)
+                    dzb = dz.astype(BF16)
+                    dW["static_dir"][0][0:256, :] += jnp.dot(
+                        feat0b.T, dzb, preferred_element_type=F32)
                     dW["static_dir"][1][...] += jnp.sum(dz, 0,
                                                         keepdims=True)
-                    ddir_in = jnp.dot(dz.astype(BF16), w_dir.T,
-                                      preferred_element_type=F32)
-                    dfeat0 = ddir_in[:, :256]
-                    ddir_ref[...] = ray_reduce(
-                        ddir_in[:, 256:256 + dir_w])
+                    # per-ray conditioning grads: reduce dz over samples
+                    # in-kernel, then one small matmul per block
+                    dzr = ray_sum(dz)
+                    dzrb = dzr.astype(BF16)
+                    dW["static_dir"][0][256:256 + SEG, :] += jnp.dot(
+                        dir_tile.T, dzrb, preferred_element_type=F32)
+                    ddir_ref[...] = jnp.dot(
+                        dzrb, w_dir[256:256 + dir_w].T,
+                        preferred_element_type=F32)
                     if encode_a:
-                        da_ref[...] = ray_reduce(
-                            ddir_in[:, 256 + SEG:256 + SEG + n_a])
+                        dW["static_dir"][0][256 + SEG:256 + 2 * SEG, :] += \
+                            jnp.dot(a_tile.T, dzrb,
+                                    preferred_element_type=F32)
+                        da_ref[...] = jnp.dot(
+                            dzrb, w_dir[256 + SEG:256 + SEG + n_a].T,
+                            preferred_element_type=F32)
+                    dfeat0 = jnp.dot(dzb, w_dir[:256].T,
+                                     preferred_element_type=F32)
                 else:
                     dfeat0 = dfeat
                 dW["static_xyz_final"][0][...] += jnp.dot(
@@ -337,10 +386,10 @@ def make_fused_nerf_train(
                                     preferred_element_type=F32)
                 dpe = tower_bwd("static_xyz", s_acts, dh8)
             else:  # transient branch
-                t_b = bcast(t_ref).astype(F32)
-                tx = (pe * pe_valid
-                      + jnp.dot(t_b, t_sel, preferred_element_type=F32)
-                      ).astype(BF16)
+                t_tile = t_ref[...].astype(F32)  # (bwd_rays, n_tau)
+                t_part = jnp.dot(t_tile, t_sel,
+                                 preferred_element_type=F32)
+                tx = (pe * pe_valid + bcast(t_part)).astype(BF16)
                 t_acts = tower_fwd("transient_xyz", tx)
                 th8 = t_acts[-1]
                 w_tfin, b_tfin = wb["transient_xyz_final"]
@@ -377,17 +426,19 @@ def make_fused_nerf_train(
                                preferred_element_type=F32)
                 dtx = tower_bwd("transient_xyz", t_acts, dth8)
                 dpe = dtx * pe_valid
-                dt_ref[...] = ray_reduce(
-                    jnp.dot(dtx.astype(BF16), t_sel.T.astype(BF16),
-                            preferred_element_type=F32))
+                dtxr = ray_sum(dtx).astype(BF16)
+                dt_ref[...] = jnp.dot(dtxr, t_sel.T.astype(BF16),
+                                      preferred_element_type=F32)
 
-            # d sin(xs+phase)/dxs = cos(xs+phase) — one transcendental
-            dxs = jnp.where(pe_id > 0, dpe * pe_valid,
-                            dpe * pe_valid
-                            * _sin_poly(xs + pe_phase + 1.5707963267948966))
-            dxyz_ref[...] = jnp.dot(dxs.astype(BF16),
-                                    pe_sel.T.astype(BF16),
-                                    preferred_element_type=F32)
+            if need_dxyz:
+                # d sin(xs+phase)/dxs = cos = sin(xs+phase+pi/2)
+                dxs = jnp.where(
+                    pe_id > 0, dpe * pe_valid,
+                    dpe * pe_valid
+                    * _sin_poly(xs + pe_phase + 1.5707963267948966))
+                dxyz_ref[...] = jnp.dot(dxs.astype(BF16),
+                                        pe_sel.T.astype(BF16),
+                                        preferred_element_type=F32)
 
         return bwd_kernel
 
@@ -401,7 +452,7 @@ def make_fused_nerf_train(
     # host-side plumbing
     # ------------------------------------------------------------------
     def _branch_bwd_host(branch, pw, xyz_flat, dir_emb, a_emb, t_emb, g,
-                         rows, n_blocks, n_rays_pad):
+                         rows, n_rays_pad, n_blocks):
         names = static_names if branch == "static" else transient_names
         sel, is_id, phase, valid = _posenc_tables(freqs, SEG)
 
@@ -409,7 +460,8 @@ def make_fused_nerf_train(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         row_spec = lambda c: pl.BlockSpec(  # noqa: E731
             (BWD_BLK, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ray_spec = row_spec  # embeddings are expanded per row for bwd
+        ray_spec = lambda c: pl.BlockSpec(  # noqa: E731
+            (bwd_rays, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
         in_specs = [const2((3, SEG)), const2((1, SEG)), const2((1, SEG)),
                     const2((1, SEG))]
@@ -446,25 +498,29 @@ def make_fused_nerf_train(
             out_shapes += [jax.ShapeDtypeStruct(w.shape, F32),
                            jax.ShapeDtypeStruct(b.shape, F32)]
             out_specs += [const2(w.shape), const2(b.shape)]
-        out_shapes.append(jax.ShapeDtypeStruct((rows, 3), F32))
-        out_specs.append(row_spec(3))
+        if need_dxyz:
+            out_shapes.append(jax.ShapeDtypeStruct((rows, 3), F32))
+            out_specs.append(row_spec(3))
         if use_viewdir and branch == "static":
             out_shapes.append(jax.ShapeDtypeStruct(
-                (rows, dir_emb.shape[-1]), F32))
-            out_specs.append(row_spec(dir_emb.shape[-1]))
+                (n_rays_pad, dir_emb.shape[-1]), F32))
+            out_specs.append(ray_spec(dir_emb.shape[-1]))
         if encode_a and branch == "static":
             out_shapes.append(jax.ShapeDtypeStruct(
-                (rows, a_emb.shape[-1]), F32))
-            out_specs.append(row_spec(a_emb.shape[-1]))
+                (n_rays_pad, a_emb.shape[-1]), F32))
+            out_specs.append(ray_spec(a_emb.shape[-1]))
         if encode_t and branch == "transient":
             out_shapes.append(jax.ShapeDtypeStruct(
-                (rows, t_emb.shape[-1]), F32))
-            out_specs.append(row_spec(t_emb.shape[-1]))
+                (n_rays_pad, t_emb.shape[-1]), F32))
+            out_specs.append(ray_spec(t_emb.shape[-1]))
 
         interpret = jax.default_backend() == "cpu"
         try:
+            # whole-ray blocks (bwd_rays aligned to 8) push the bwd
+            # working set slightly past the default 16M scoped-vmem cap
             compiler_params = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=24 * 1024 * 1024)
         except TypeError:
             compiler_params = None
         return pl.pallas_call(
@@ -479,66 +535,67 @@ def make_fused_nerf_train(
 
     def _bwd_host(params, xyz, dir_emb, a_emb, t_emb, g):
         n, s = xyz.shape[0], xyz.shape[1]
-        rows = n * s
-        # bwd blocks need not cover whole rays (embeddings are per-row);
-        # pad rows to a BWD_BLK multiple
-        n_pad_rows = (-rows) % BWD_BLK
         pw = _packed_padded_weights(params)
+        # pad to whole backward blocks of whole rays; conditioning stays
+        # per-ray (the round-1 code expanded embeddings to per-ROW
+        # (rows, C) arrays on the host and reduced the grads back with an
+        # XLA reshape-sum — those broadcasts/reduces were ~9 ms of the
+        # step profile at batch 8192)
+        n_pad_rays = (-n) % bwd_rays
+        n_rays_pad = n + n_pad_rays
+        rows = n_rays_pad * s
+        n_blocks = rows // BWD_BLK
 
-        def expand(v):
+        def pad_rays(v):
             if v is None:
                 return None
-            vr = jnp.broadcast_to(v[:, None, :],
-                                  (n, s, v.shape[-1])).reshape(rows,
-                                                               v.shape[-1])
-            if n_pad_rows:
-                vr = jnp.concatenate(
-                    [vr, jnp.zeros((n_pad_rows, v.shape[-1]), v.dtype)], 0)
-            return vr
+            if n_pad_rays:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((n_pad_rays, v.shape[-1]), v.dtype)], 0)
+            return v
 
-        dir_row = expand(dir_emb)
-        a_row = expand(a_emb)
-        t_row = expand(t_emb)
-        xyz_flat = xyz.reshape(rows, 3)
-        g_flat = g.reshape(rows, 16).astype(F32)
-        if n_pad_rows:
+        dir_r = pad_rays(dir_emb)
+        a_r = pad_rays(a_emb)
+        t_r = pad_rays(t_emb)
+        xyz_flat = xyz.reshape(n * s, 3)
+        g_flat = g.reshape(n * s, 16).astype(F32)
+        if n_pad_rays:
             xyz_flat = jnp.concatenate(
-                [xyz_flat, jnp.zeros((n_pad_rows, 3), xyz_flat.dtype)], 0)
+                [xyz_flat, jnp.zeros((n_pad_rays * s, 3),
+                                     xyz_flat.dtype)], 0)
             g_flat = jnp.concatenate(
-                [g_flat, jnp.zeros((n_pad_rows, 16), F32)], 0)
-        rows_pad = rows + n_pad_rows
-        n_blocks = rows_pad // BWD_BLK
-        n_rays_pad = 0  # unused
-        rows = rows_pad
-        dir_emb, a_emb, t_emb = dir_row, a_row, t_row
-
-        def per_ray(row_grads):
-            return row_grads[:n * s].reshape(n, s, -1).sum(axis=1)
+                [g_flat, jnp.zeros((n_pad_rays * s, 16), F32)], 0)
 
         dws = {}
         ddir = da = dt = None
-        dxyz = jnp.zeros((rows, 3), F32)
+        dxyz = None
         if static_branch:
-            outs_s = _branch_bwd_host("static", pw, xyz_flat, dir_emb,
-                                      a_emb, t_emb, g_flat, rows, n_blocks,
-                                      n_rays_pad)
+            outs_s = _branch_bwd_host("static", pw, xyz_flat, dir_r,
+                                      a_r, t_r, g_flat, rows, n_rays_pad,
+                                      n_blocks)
             it = iter(outs_s)
             for name in static_names:
                 dws[name] = {"w": next(it), "b": next(it)}
-            dxyz = next(it)
-            ddir = per_ray(next(it)) if use_viewdir else None
-            da = per_ray(next(it)) if encode_a else None
+            if need_dxyz:
+                dxyz = next(it)
+            ddir = next(it)[:n] if use_viewdir else None
+            da = next(it)[:n] if encode_a else None
         if encode_t:
-            outs_t = _branch_bwd_host("transient", pw, xyz_flat, dir_emb,
-                                      a_emb, t_emb, g_flat, rows, n_blocks,
-                                      n_rays_pad)
+            outs_t = _branch_bwd_host("transient", pw, xyz_flat, dir_r,
+                                      a_r, t_r, g_flat, rows, n_rays_pad,
+                                      n_blocks)
             it = iter(outs_t)
             for name in transient_names:
                 dws[name] = {"w": next(it), "b": next(it)}
-            dxyz = dxyz + next(it)
-            dt = per_ray(next(it))
+            if need_dxyz:
+                d2 = next(it)
+                dxyz = d2 if dxyz is None else dxyz + d2
+            dt = next(it)[:n]
         dparams = _unpad_grads(dws)
-        dxyz = dxyz[:n * s].reshape(n, n_samples, 3)
+        if need_dxyz:
+            dxyz = dxyz[:n * s].reshape(n, n_samples, 3)
+        else:
+            dxyz = jnp.zeros((n, n_samples, 3), F32)
         return dparams, dxyz, ddir, da, dt
 
     # ------------------------------------------------------------------
