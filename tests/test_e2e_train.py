@@ -82,3 +82,21 @@ def test_val_every_steps_cadence(scene, tmp_path, monkeypatch):
     # 2 epochs x steps_per_epoch steps; one validation per 5 steps
     total = 2 * sys_.steps_per_epoch
     assert len(calls) == total // 5
+
+
+def test_full_nsff_soak_psnr_floor(scene, tmp_path):
+    """Soak regression harness (round-1 verdict #6b): the FULL NSFF
+    config — transient branch, fw/bw flow, all 8 loss terms with their
+    schedules — must reach a PSNR floor on the learnable synthetic scene.
+    Calibrated runs land at 19-25 dB after 30 epochs (from 10.4 at
+    init; small-scene RNG variance is large); the 17 dB floor catches a
+    regression in any loss term or the warped-render path."""
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, use_viewdir=True,
+               N_tau=8, num_epochs=30, lr_scheduler="cosine",
+               exp_name="e2e_soak", val_every_steps=10 ** 9)
+    sys_ = NSFFSystem(cfg)
+    sys_.fit(log_every=1000, progress=False)
+    log = sys_.validate(30)
+    assert log["psnr"] > 17.0, f"soak PSNR regressed: {log['psnr']:.2f} dB"
