@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Learning-equivalence check: train the SAME synthetic scene with the
+XLA and Pallas train backends and compare validation PSNR.
+
+The Pallas custom-VJP kernels must not change training outcomes beyond
+bf16-level noise (the kernel-level gradient equivalence is asserted in
+tests/test_mlp_train_kernel.py; this is the end-to-end version on real
+hardware). Run on TPU:
+
+    python tools/learning_equiv.py [--epochs 12] [--wh 128 72]
+
+Prints per-backend final val PSNR and the delta.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(backend: str, root: str, args) -> float:
+    import jax
+
+    from nsff_pl_tpu.config import NSFFConfig
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = NSFFConfig(
+        root_dir=root, img_wh=tuple(args.wh), start_end=(0, args.frames),
+        N_samples=args.N_samples, batch_size=args.batch_size,
+        num_epochs=args.epochs, lr=5e-4, lr_scheduler="cosine",
+        encode_t=True, use_viewdir=True, dtype="bfloat16",
+        train_backend=backend, exp_name=f"equiv_{backend}",
+        log_dir="/tmp/equiv_logs", ckpt_dir="/tmp/equiv_ckpts",
+        val_every_steps=10 ** 9)
+    sys_ = NSFFSystem(cfg)
+    sys_.fit(log_every=200, progress=True)
+    log = sys_.validate(args.epochs)
+    del sys_
+    return log["psnr"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--wh", nargs=2, type=int, default=[128, 72])
+    p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--N_samples", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--scene", type=str, default="/tmp/equiv_scene")
+    args = p.parse_args()
+
+    if not os.path.isdir(args.scene):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tests"))
+        from helpers_scene import make_synthetic_scene
+
+        make_synthetic_scene(args.scene, W=args.wh[0], H=args.wh[1],
+                             N=args.frames, seed=0)
+
+    results = {}
+    for backend in ("xla", "pallas"):
+        results[backend] = run(backend, args.scene, args)
+        print(f"[{backend}] final val PSNR = {results[backend]:.3f} dB",
+              flush=True)
+    delta = results["pallas"] - results["xla"]
+    print(f"PSNR delta (pallas - xla) = {delta:+.3f} dB")
+
+
+if __name__ == "__main__":
+    main()
