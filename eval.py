@@ -251,7 +251,8 @@ def main(args):
     if args.split == "test":
         mean_psnr = np.nanmean(psnrs, 0)
         mean_ssim = np.nanmean(ssims, 0)
-        mean_lpips = np.nanmean(lpipss, 0)
+        mean_lpips = np.array([np.nan if np.isnan(c).all()
+                               else np.nanmean(c) for c in lpipss.T])
         np.save(os.path.join(dir_name, "psnr.npy"), psnrs)
         np.save(os.path.join(dir_name, "ssim.npy"), ssims)
         np.save(os.path.join(dir_name, "lpips.npy"), lpipss)
