@@ -109,3 +109,38 @@ def test_merge_params_partial():
     merged = C.merge_params(init, loaded)
     np.testing.assert_allclose(np.asarray(merged["a"]["w"]), 1.0)
     np.testing.assert_allclose(np.asarray(merged["b"]), 0.0)
+
+
+def test_ranger_state_checkpoint_roundtrip(tmp_path):
+    """Orbax must round-trip the ranger optimizer's LookaheadState
+    (inner RAdam state + slow weights + count) so --ckpt_path resume
+    works for every optimizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nsff_pl_tpu.config import NSFFConfig
+    from nsff_pl_tpu.training import checkpoint as ckpt_lib
+    from nsff_pl_tpu.training.optim import make_optimizer
+
+    cfg = NSFFConfig(optimizer="ranger", lr=1e-2, lr_scheduler="cosine",
+                     num_epochs=4)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    state = tx.init(params)
+    for _ in range(3):
+        grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = ckpt_lib.save_checkpoint(str(tmp_path), 3,
+                                    {"params": params, "opt": state})
+    restored = ckpt_lib.restore_checkpoint(
+        path, {"params": params, "opt": state})
+    for a, b in zip(jax.tree.leaves(restored["opt"]),
+                    jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state must keep stepping (structure intact)
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
+    tx.update(grads, restored["opt"], restored["params"])

@@ -75,3 +75,17 @@ def test_eval_interp_split(trained):
     for f in ("000_000.png", "000_050.png", "001_000.png", "002_000.png",
               "t2.gif"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_eval_spiral_split(trained):
+    """test_spiral renders 6*N_frames spiral poses with advancing time
+    (monocular.py:199-204 semantics) and writes frames + video."""
+    scene, ckpt, tmp = trained
+    out = _run_eval(scene, ckpt, tmp, "test_spiral", "t3")
+    for f in ("000.png", "017.png", "t3.gif"):
+        assert os.path.exists(os.path.join(out, f)), f
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out, "000.png")))
+    assert img.shape == (24, 32, 3) and img.dtype == np.uint8
