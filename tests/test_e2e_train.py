@@ -100,3 +100,22 @@ def test_full_nsff_soak_psnr_floor(scene, tmp_path):
     sys_.fit(log_every=1000, progress=False)
     log = sys_.validate(30)
     assert log["psnr"] > 17.0, f"soak PSNR regressed: {log['psnr']:.2f} dB"
+
+
+def test_trainer_with_mesh(scene, tmp_path):
+    """Trainer-level multichip integration: NSFFSystem with a 2-device
+    mesh (the --num_gpus path in train.py) must train, validate and
+    checkpoint — covers the mesh plumbing above the step-level sharding
+    tests."""
+    from nsff_pl_tpu.parallel import make_mesh
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, num_epochs=1, N_tau=8,
+               exp_name="e2e_mesh")
+    sys_ = NSFFSystem(cfg, mesh=make_mesh(2))
+    sys_.fit(log_every=1000, progress=False)
+    assert int(sys_.state.step) == sys_.steps_per_epoch
+    import numpy as np
+
+    w = np.asarray(sys_.state.params["nerf_fine"]["static_xyz_0"]["w"])
+    assert np.isfinite(w).all()
