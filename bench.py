@@ -143,12 +143,27 @@ def measure_render(n_rays: int = 8192, n_samples: int = 128,
     return n_rays * iters / (time.perf_counter() - t0)
 
 
+def _retry(fn, attempts: int = 3, tag: str = ""):
+    """The tunneled (axon) backend intermittently fails remote compiles
+    with HTTP 500s; retry before giving up so one flake can't zero the
+    recorded benchmark."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            print(f"# {tag} attempt {i+1}/{attempts} failed: "
+                  f"{type(e).__name__}", flush=True)
+            if i == attempts - 1:
+                raise
+            time.sleep(5)
+
+
 def main():
     import warnings
 
     warnings.filterwarnings("ignore")
     try:
-        render_rps = measure_render()
+        render_rps = _retry(measure_render, tag="render")
         print(f"# render (test-time, pallas auto): {render_rps:,.0f} rays/s",
               flush=True)
     except Exception as e:
@@ -157,7 +172,8 @@ def main():
     best_cfg = None
     for bs in (512, 2048, 8192):
         try:
-            rays_s, loss = measure(bs)
+            rays_s, loss = _retry(lambda bs=bs: measure(bs),
+                                  tag=f"batch={bs}")
             print(f"# batch={bs}: {rays_s:,.0f} rays/s (loss {loss:.3f})",
                   flush=True)
             if rays_s > best:
