@@ -144,3 +144,37 @@ def test_ranger_state_checkpoint_roundtrip(tmp_path):
     # restored state must keep stepping (structure intact)
     grads = jax.tree.map(lambda p: jnp.full_like(p, 0.5), params)
     tx.update(grads, restored["opt"], restored["params"])
+
+
+@pytest.mark.parametrize("optimizer", ["adam", "ranger"])
+def test_save_weights_only_tool(tmp_path, optimizer):
+    """tools/save_weights_only strips full training checkpoints to bare
+    params for ANY optimizer (the orbax path restores the raw on-disk
+    tree — an abstract-pytree restore broke on ranger's LookaheadState)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tools.save_weights_only as swo
+    from nsff_pl_tpu.config import NSFFConfig
+    from nsff_pl_tpu.models import nerf as nerf_m
+    from nsff_pl_tpu.training import checkpoint as ckpt_lib
+    from nsff_pl_tpu.training.optim import make_optimizer
+    from nsff_pl_tpu.training.step import TrainState
+
+    params = {"nerf_fine": nerf_m.init_nerf_params(
+        jax.random.PRNGKey(0), "fine", use_viewdir=False,
+        encode_transient=True, in_channels_t=8, output_flow=True)}
+    tx = make_optimizer(NSFFConfig(optimizer=optimizer), 1)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    ckpt = ckpt_lib.save_checkpoint(
+        str(tmp_path / "full"), 1,
+        {"state": state, "sampling_weights": np.ones((3, 64), np.float32)})
+
+    out = str(tmp_path / "stripped")
+    swo.main(["--ckpt_path", ckpt, "--out", out])
+
+    restored = ckpt_lib.restore_checkpoint(out, {"params": params})
+    a = np.asarray(params["nerf_fine"]["static_xyz_0"]["w"])
+    b = np.asarray(restored["params"]["nerf_fine"]["static_xyz_0"]["w"])
+    np.testing.assert_array_equal(a, b)

@@ -119,3 +119,22 @@ def test_trainer_with_mesh(scene, tmp_path):
 
     w = np.asarray(sys_.state.params["nerf_fine"]["static_xyz_0"]["w"])
     assert np.isfinite(w).all()
+
+
+def test_hard_sampling_weight_refresh(scene, tmp_path):
+    """--hard_sampling end-to-end: the training-render buffer feeds the
+    per-epoch SSIM weight refresh (train.py:246-257 semantics) so the
+    sampling distribution moves away from uniform."""
+    import numpy as np
+
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), num_epochs=2, hard_sampling=True,
+               exp_name="e2e_hard")
+    sys_ = NSFFSystem(cfg)
+    w0 = np.asarray(sys_.batcher.weights).copy()
+    sys_.fit(log_every=1000, progress=False)
+    w1 = np.asarray(sys_.batcher.weights)
+    assert w1.shape == w0.shape
+    assert not np.allclose(w0, w1), "sampling weights never refreshed"
+    assert np.isfinite(w1).all() and (w1 >= 0).all()
