@@ -1,6 +1,7 @@
 """CLI-surface parity tests: every reference flag must parse with the
 reference's default (`opt.py:3-114`, `eval.py:24-78`)."""
 import argparse
+import os
 
 import pytest
 
@@ -116,3 +117,59 @@ def test_preprocess_cli_flags():
     args = preprocess.get_opts(["--root_dir", "/x", "--stages", "resize"])
     assert args.stages == ["resize"]
     assert args.max_w == 1280 and args.max_h == 720  # preprocess.py:27
+
+
+def test_preprocess_resize_stage(tmp_path):
+    """The resize stage runs for real (cv2 is in the image): frames
+    capped at max_w x max_h with INTER_AREA, idempotent on re-run
+    (`preprocess.py:27-52` behavior)."""
+    import numpy as np
+    from PIL import Image
+
+    import preprocess
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "frames"))
+    big = (np.random.RandomState(0).rand(90, 160, 3) * 255).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(big).save(os.path.join(root, "frames",
+                                               f"{i:05d}.png"))
+    preprocess.resize_frames(root, max_w=80, max_h=45)
+    out = sorted(os.listdir(os.path.join(root, "frames_resized")))
+    assert len(out) == 3
+    img = np.asarray(Image.open(
+        os.path.join(root, "frames_resized", out[0])))
+    assert img.shape[:2] == (45, 80)
+    # idempotent: second run skips (no error, content unchanged)
+    preprocess.resize_frames(root, max_w=80, max_h=45)
+
+
+def test_masks_trivial_fallback(tmp_path):
+    """scene.masks degrades: predict_masks raises a clear error without
+    detectron2; trivial_masks writes all-static masks with the
+    reference's .png.png naming (predict_mask.py:64)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from nsff_pl_tpu.scene import masks as masks_mod
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "images"))
+    img = (np.random.RandomState(0).rand(12, 16, 3) * 255).astype(np.uint8)
+    for i in range(2):
+        Image.fromarray(img).save(os.path.join(root, "images",
+                                               f"{i:05d}.png"))
+    try:
+        import detectron2  # noqa: F401
+        has_d2 = True
+    except Exception:
+        has_d2 = False
+    if not has_d2:
+        with pytest.raises(RuntimeError, match="detectron2"):
+            masks_mod.predict_masks(root)
+    n = masks_mod.trivial_masks(root)
+    assert n == 2
+    m = np.asarray(Image.open(os.path.join(root, "masks",
+                                           "00000.png.png")))
+    assert m.shape == (12, 16) and (m > 0).all()  # all static
