@@ -50,6 +50,8 @@ class NSFFConfig:
 
     # ---- distributed (opt.py:63-66); GPUs -> TPU chips ----
     num_gpus: int = 1  # kept name for CLI parity; = number of TPU chips
+    # accepted for CLI parity with opt.py:65-66; multi-node (DCN)
+    # training is out of scope for a single v5e slice (SURVEY.md §5)
     num_nodes: int = 1
 
     # ---- checkpointing (opt.py:68-73) ----
