@@ -91,3 +91,22 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_train_step_deterministic():
+    """SURVEY §5: determinism by construction (sorted XLA scatter, explicit
+    jax.random keys). The same state + batch + key must produce bitwise
+    identical losses and updated params across two executions."""
+    batch_size = 32
+    state, tx, rcfg, data = _setup(batch_size)
+    step = make_train_step(
+        rcfg, LossConfig(max_t=3), tx, output_transient=True,
+        output_transient_flow=("fw", "bw", "disocc"), steps_per_epoch=10,
+        batch_size=batch_size, donate=False)
+    out = []
+    for _ in range(2):
+        s2, m, _ = step(state, *data, jax.random.PRNGKey(9), jnp.asarray(2))
+        out.append((float(m["loss"]),
+                    np.asarray(s2.params["nerf_fine"]["static_xyz_0"]["w"])))
+    assert out[0][0] == out[1][0]
+    np.testing.assert_array_equal(out[0][1], out[1][1])
