@@ -138,3 +138,23 @@ def test_hard_sampling_weight_refresh(scene, tmp_path):
     assert w1.shape == w0.shape
     assert not np.allclose(w0, w1), "sampling weights never refreshed"
     assert np.isfinite(w1).all() and (w1 >= 0).all()
+
+
+def test_maximal_config_trains(scene, tmp_path):
+    """The maximal model configuration — coarse-to-fine (N_importance>0,
+    exercising both PDF resamplings and the rgb/depth_coarse loss terms),
+    appearance embedding (encode_a) AND transient+flow — must train a
+    full epoch and validate finite."""
+    import numpy as np
+
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, encode_a=True,
+               use_viewdir=True, N_importance=4, N_tau=8, N_a=8,
+               num_epochs=1, exp_name="e2e_max")
+    sys_ = NSFFSystem(cfg)
+    assert "nerf_coarse" in sys_.state.params
+    assert "embedding_a" in sys_.state.params
+    sys_.fit(log_every=1000, progress=False)
+    log = sys_.validate(1)
+    assert np.isfinite(log["psnr"])
