@@ -79,7 +79,10 @@ class NSFFConfig:
 
     # ---- TPU-specific knobs (new; no reference equivalent) ----
     mlp_backend: str = "auto"  # eval backend: 'auto' | 'xla' | 'pallas'
-    train_backend: str = "auto"  # train backend: 'auto' | 'xla' | 'pallas'
+    # train backend: 'auto' | 'xla' | 'pallas' | 'stub'
+    # ('stub' replaces the MLP with a trivial map — profiling aid that
+    # times only the non-MLP glue; never use for real training)
+    train_backend: str = "auto"
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -205,7 +208,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--mlp_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--train_backend", type=str, default="auto",
-                        choices=["auto", "xla", "pallas"])
+                        choices=["auto", "xla", "pallas", "stub"],
+                        help="training MLP backend; 'stub' is a "
+                             "glue-profiling aid (not a real model)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)

@@ -188,11 +188,15 @@ def render_rays(
         on_tpu = jax.default_backend() != "cpu"
         is_bf16 = cfg.compute_dtype == "bfloat16"
         backend = cfg.mlp_backend
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown mlp_backend {backend!r}")
         if backend == "auto":
             backend = "pallas" if (on_tpu and is_bf16) else "xla"
         use_pallas = backend == "pallas" and test_time and not sigma_only
         # trainable fused kernels (fine model only; coarse stays XLA)
         tbackend = cfg.train_backend
+        if tbackend not in ("auto", "xla", "pallas", "stub"):
+            raise ValueError(f"unknown train_backend {tbackend!r}")
         if tbackend == "auto":
             tbackend = "pallas" if (on_tpu and is_bf16) else "xla"
         use_pallas_train = (tbackend == "pallas"

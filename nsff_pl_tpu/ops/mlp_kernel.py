@@ -192,7 +192,6 @@ def make_fused_nerf_eval(
         phase = pe_phase_ref[...]
         vals = pe_valid_ref[...]
         pe = jnp.where(ids > 0, xs, _sin_poly(xs + phase)) * vals
-        vals_x_only = vals  # posenc-valid mask (t slots are zero in vals)
         xyz_pad = pe.astype(jnp.bfloat16)  # (BLK, 128) or (BLK, 63)
         xyz_emb = xyz_pad[:, :xyz_w] if not padded else xyz_pad
 
@@ -278,7 +277,6 @@ def make_fused_nerf_eval(
             cols = [jnp.zeros((block_rows, 4), jnp.float32)]
 
         # ---- transient branch ----
-        n_tr_heads = 4 + 3 * (("fw" in output_flow) + ("bw" in output_flow))
         if encode_t:
             if padded:
                 # per-ray t embedding placed into cols [xyz_w, xyz_w+t) of
@@ -288,7 +286,8 @@ def make_fused_nerf_eval(
                 t_part = jnp.dot(t_ref[...].astype(jnp.float32),
                                  t_sel_ref[...],
                                  preferred_element_type=jnp.float32)
-                tx = (pe * vals_x_only + bcast(t_part)).astype(jnp.bfloat16)
+                # pe is already masked by `vals` (t slots zero there)
+                tx = (pe + bcast(t_part)).astype(jnp.bfloat16)
             else:
                 t_emb = bcast(t_ref[...]).astype(jnp.float32)
                 tx = jnp.concatenate([xyz_emb,

@@ -89,9 +89,6 @@ def make_fused_nerf_train(
         bwd_rays = max(8, ((bwd_rays + 7) // 8) * 8)
         BWD_BLK = bwd_rays * n_samples
 
-    n_flow = 3 * (("fw" in output_flow) + ("bw" in output_flow))
-    n_tr_heads = 4 + n_flow
-
     # weight list (packed heads, padded layouts — mirrors the eval kernel)
     static_names = ([f"static_xyz_{i}" for i in range(D)]
                     + ["static_xyz_final"]
@@ -389,7 +386,8 @@ def make_fused_nerf_train(
                 t_tile = t_ref[...].astype(F32)  # (bwd_rays, n_tau)
                 t_part = jnp.dot(t_tile, t_sel,
                                  preferred_element_type=F32)
-                tx = (pe * pe_valid + bcast(t_part)).astype(BF16)
+                # pe is already masked by pe_valid (t slots zero there)
+                tx = (pe + bcast(t_part)).astype(BF16)
                 t_acts = tower_fwd("transient_xyz", tx)
                 th8 = t_acts[-1]
                 w_tfin, b_tfin = wb["transient_xyz_final"]

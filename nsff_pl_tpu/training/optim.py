@@ -123,26 +123,31 @@ def make_optimizer(cfg: NSFFConfig, steps_per_epoch: int) -> optax.GradientTrans
     (`utils/__init__.py:24-57`)."""
     sched = make_lr_schedule(cfg, steps_per_epoch)
 
+    # Weight-decay semantics follow each reference optimizer exactly:
+    # - torch SGD / torch Adam apply COUPLED L2 (decay added to the grad
+    #   before the moment updates) -> add_decayed_weights BEFORE the
+    #   transform;
+    # - torch_optimizer.RAdam / .Ranger apply DECOUPLED, lr-scaled decay
+    #   (p -= wd * lr * p after the adaptive step) -> add_decayed_weights
+    #   AFTER scale_by_radam, inside the final lr scaling.
     if cfg.optimizer == "sgd":
         tx = optax.sgd(learning_rate=sched, momentum=cfg.momentum)
         if cfg.weight_decay > 0:
             tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     elif cfg.optimizer == "adam":
-        tx = optax.adamw(learning_rate=sched, eps=EPS,
-                         weight_decay=cfg.weight_decay) \
-            if cfg.weight_decay > 0 else optax.adam(learning_rate=sched, eps=EPS)
-    elif cfg.optimizer == "radam":
-        tx = optax.radam(learning_rate=sched, eps=EPS)
+        tx = optax.adam(learning_rate=sched, eps=EPS)
         if cfg.weight_decay > 0:
             tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
-    elif cfg.optimizer == "ranger":
-        # Ranger = RAdam + Lookahead(k=6, alpha=0.5)
-        # (torch_optimizer.Ranger defaults, utils/__init__.py:52-53)
-        inner = optax.radam(learning_rate=sched, eps=EPS)
+    elif cfg.optimizer in ("radam", "ranger"):
+        parts = [optax.scale_by_radam(eps=EPS)]
         if cfg.weight_decay > 0:
-            inner = optax.chain(
-                optax.add_decayed_weights(cfg.weight_decay), inner)
-        tx = lookahead(inner, sync_period=6, slow_step_size=0.5)
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.scale_by_learning_rate(sched))
+        tx = optax.chain(*parts)
+        if cfg.optimizer == "ranger":
+            # Ranger = RAdam + Lookahead(k=6, alpha=0.5)
+            # (torch_optimizer.Ranger defaults, utils/__init__.py:52-53)
+            tx = lookahead(tx, sync_period=6, slow_step_size=0.5)
     else:
         raise ValueError(f"optimizer {cfg.optimizer} not recognized!")
     return tx

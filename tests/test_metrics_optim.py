@@ -171,3 +171,40 @@ def test_lookahead_golden_sequence():
     # fast: -1; sync: slow=0+0.5*(-2-0)=-1, fast:=-1; fast: -2;
     # sync: slow=-1+0.5*(-3+1)=-2 ...
     np.testing.assert_allclose(seq, [-1, -1, -2, -2, -3, -3], atol=1e-6)
+
+
+def test_radam_weight_decay_is_decoupled_lr_scaled():
+    """torch_optimizer.RAdam/Ranger (the reference's implementations,
+    utils/__init__.py:48-53) apply DECOUPLED lr-scaled decay:
+    p -= wd * lr * p after the adaptive step. With zero gradients the
+    adaptive update vanishes, so one step must move params by exactly
+    -lr*wd*p — a coupled-L2 formulation would route the decay through
+    the second-moment denominator instead."""
+    from nsff_pl_tpu.training.optim import make_optimizer
+
+    cfg = NSFFConfig(lr=0.1, optimizer="radam", lr_scheduler="const",
+                     weight_decay=0.01)
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    p = {"w": jnp.full((3,), 2.0)}
+    state = tx.init(p)
+    updates, _ = tx.update({"w": jnp.zeros(3)}, state, p)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -0.1 * 0.01 * 2.0, rtol=1e-6)
+
+
+def test_adam_weight_decay_is_coupled_l2():
+    """torch.optim.Adam (utils/__init__.py:46-47) treats weight_decay as
+    an L2 penalty on the gradient: with zero gradients the decay term
+    enters the moments, so the first-step update is -lr * sign-ish of
+    wd*p (adam normalizes magnitude to ~lr), NOT -lr*wd*p."""
+    from nsff_pl_tpu.training.optim import make_optimizer
+
+    cfg = NSFFConfig(lr=0.1, optimizer="adam", lr_scheduler="const",
+                     weight_decay=0.01)
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    p = {"w": jnp.full((3,), 2.0)}
+    state = tx.init(p)
+    updates, _ = tx.update({"w": jnp.zeros(3)}, state, p)
+    u = np.asarray(updates["w"])
+    # adam's bias-corrected first step ~= -lr * g/|g| = -lr
+    np.testing.assert_allclose(u, -0.1, rtol=1e-3)
