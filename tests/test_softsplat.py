@@ -144,3 +144,79 @@ def test_invalid_mode_raises():
         softsplat(jnp.zeros((2, 2, 1)), jnp.zeros((2, 2, 2)), mode="nope")
     with pytest.raises(ValueError):
         softsplat(jnp.zeros((2, 2, 1)), jnp.zeros((2, 2, 2)), mode="linear")
+
+
+def test_interpolate_zero_flow_matches_composite():
+    """Analytic check of the MPI space-time interpolation
+    (rendering.py:365-460 semantics): sample points are constructed so
+    each projects exactly onto its own pixel (world points on the pixel
+    rays, converted through world2ndc), and the scene flow is zero — the
+    per-plane optical flows are then exactly 0, the splats are
+    identities, and interpolate(t, t, dt) must equal the direct
+    front-to-back over-composite of the blended planes — pinning the
+    plane blending (dt weights) and the exclusive transmittance order."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.models.rendering import interpolate
+    from nsff_pl_tpu.ops import rays as ray_ops
+
+    w, h, S = 8, 6, 4
+    n = w * h
+    rng = np.random.RandomState(5)
+    K = np.array([[10.0, 0, w / 2], [0, 10.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(3, 4, dtype=np.float32)
+
+    # world points on each pixel's ray: camera coords (right-down-fwd)
+    # Y = zc * K^-1 (u, v, 1); world = flip @ Y (c2w = identity)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    Kinv = np.linalg.inv(K)
+    pix = np.stack([uu.ravel(), vv.ravel(), np.ones(n, np.float32)], 0)
+    dirs_c = (Kinv @ pix).T  # (n, 3)
+    flip = np.array([1.0, -1.0, -1.0], np.float32)
+    xyz_ndc = np.zeros((n, S, 3), np.float32)
+    for si in range(S):
+        zc = 2.0 + si
+        world = (dirs_c * zc) * flip[None]
+        xyz_ndc[:, si] = np.asarray(ray_ops.world2ndc(
+            jnp.asarray(world), jnp.asarray(K)))
+
+    zs = np.broadcast_to(np.linspace(0.1, 0.9, S, dtype=np.float32), (n, S))
+    res = {
+        "xyzs_fine": jnp.asarray(xyz_ndc),
+        "zs_fine": jnp.asarray(zs),
+        "transient_flows_fw": jnp.zeros((n, S, 3), jnp.float32),
+        "transient_flows_bw": jnp.zeros((n, S, 3), jnp.float32),
+        "transient_rgbs_fine": jnp.asarray(rng.rand(n, S, 3).astype(np.float32)),
+        "transient_alphas_fine": jnp.asarray(
+            rng.rand(n, S).astype(np.float32) * 0.5),
+        "static_rgbs_fine": jnp.asarray(rng.rand(n, S, 3).astype(np.float32)),
+        "static_alphas_fine": jnp.asarray(
+            rng.rand(n, S).astype(np.float32) * 0.5),
+    }
+    dt = 0.3
+    rgb, depth = interpolate(res, res, dt, jnp.asarray(K),
+                             jnp.asarray(c2w), (w, h))
+
+    # reference over-composite in numpy (zero optical flow => identity)
+    tr_rgb = np.asarray(res["transient_rgbs_fine"]).reshape(h, w, S, 3) \
+        .transpose(2, 0, 1, 3)
+    tr_a = np.asarray(res["transient_alphas_fine"]).reshape(h, w, S, 1) \
+        .transpose(2, 0, 1, 3)
+    st_rgb = np.asarray(res["static_rgbs_fine"]).reshape(h, w, S, 3) \
+        .transpose(2, 0, 1, 3)
+    st_a = np.asarray(res["static_alphas_fine"]).reshape(h, w, S, 1) \
+        .transpose(2, 0, 1, 3)
+    comp_rgb = (tr_rgb * tr_a * (1 - dt) + tr_rgb * tr_a * dt
+                + st_rgb * st_a)
+    comp_a = (1 - (1 - (tr_a * (1 - dt) + tr_a * dt)) * (1 - st_a))[..., 0]
+    trans = np.cumprod(np.concatenate(
+        [np.ones_like(comp_a[:1]), 1 - comp_a[:-1]], 0), 0)
+    ref_rgb = (trans[..., None] * comp_rgb).sum(0)
+    ref_depth = (trans * comp_a
+                 * zs.reshape(h, w, S).transpose(2, 0, 1)).sum(0)
+
+    np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(depth), ref_depth, atol=1e-3)
