@@ -62,6 +62,16 @@ class RenderConfig:
     # v5e: 43.2k rays/s at batch 512 (+10% vs xla) and 46.4k at 2048
     # (+55%). 'auto' = pallas on TPU, xla on CPU.
     train_backend: str = "auto"
+    # fuse the main-eval compositing (softplus/alphas/shared
+    # transmittance/weights/rgb+depth maps) into a Pallas kernel pair
+    # with a hand-written VJP (ops/compositing_kernel.py) when the
+    # Pallas train backend is active. Numerically equivalent incl.
+    # gradients (tests/test_compositing_kernel.py) but measured SLOWER
+    # as an isolated stage on v5e (58.4k -> 54.7k rays/s at batch 8192:
+    # the cotangent/packed boundary traffic exceeds the glue saved), so
+    # OFF by default — it is validated groundwork for the full fusion
+    # (docs/RAYMARCH_KERNEL.md), not a win on its own.
+    fused_compositing: bool = False
     # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
     # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
     # selector-matmul posenc + packed transient heads) measures 1.34x
@@ -96,6 +106,19 @@ def _shard_over_rays(fn, mesh):
     ray = PS(DATA_AXIS)
     return shard_map(fn, mesh=mesh,
                      in_specs=(PS(), ray, ray, ray, ray),
+                     out_specs=ray, check_rep=False)
+
+
+def _shard_comp(fn, mesh):
+    """shard_map the fused compositing kernel over the data mesh (no
+    replicated operands, so no transpose-psum subtleties)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from nsff_pl_tpu.parallel.mesh import DATA_AXIS
+
+    ray = PS(DATA_AXIS)
+    return shard_map(fn, mesh=mesh, in_specs=(ray, ray, ray, ray),
                      out_specs=ray, check_rep=False)
 
 
@@ -346,16 +369,44 @@ def render_rays(
 
         static_deltas, transient_deltas = cp.deltas_from_zs(zs)
 
-        noise_s = (jax.random.normal(k_noise_s, static_sigmas_raw.shape)
-                   * noise_std) if noise_std > 0 else None
-        static_sigmas = cp.softplus(
-            static_sigmas_raw + noise_s if noise_s is not None
-            else static_sigmas_raw)
-        results[f"static_sigmas_{typ}"] = static_sigmas
-        static_alphas = 1.0 - jnp.exp(-static_deltas * static_sigmas)
-        alphas = static_alphas
+        # fused compositing: the whole sigma->alpha->transmittance->
+        # weights->maps chain runs in one Pallas kernel pair reading the
+        # MLP kernel's packed output directly (ops/compositing_kernel.py)
+        use_fused_comp = (use_pallas_train and output_transient
+                          and not test_time and typ == "fine"
+                          and cfg.fused_compositing)
+        comp = None
+        if use_fused_comp:
+            from nsff_pl_tpu.ops.compositing_kernel import \
+                make_fused_compositing
 
-        if output_transient:
+            shape2 = (xyz.shape[0], n_samples_)
+            noise_s = (jax.random.normal(k_noise_s, shape2) * noise_std
+                       if noise_std > 0 else jnp.zeros(shape2))
+            noise_t = (jax.random.normal(k_noise_t, shape2) * noise_std
+                       if noise_std > 0 else jnp.zeros(shape2))
+            fcomp = make_fused_compositing(n_samples_)
+            if mesh is not None:
+                fcomp = _shard_comp(fcomp, mesh)
+            comp = fcomp(packed, zs, noise_s, noise_t)
+            static_sigmas = comp["static_sigmas"]
+            transient_sigmas = comp["transient_sigmas"]
+            results[f"static_sigmas_{typ}"] = static_sigmas
+            results[f"transient_sigmas_{typ}"] = transient_sigmas
+            static_alphas = comp["static_alphas"]
+            transient_alphas = comp["transient_alphas"]
+            alphas = None  # trans/weights come from the kernel
+        else:
+            noise_s = (jax.random.normal(k_noise_s, static_sigmas_raw.shape)
+                       * noise_std) if noise_std > 0 else None
+            static_sigmas = cp.softplus(
+                static_sigmas_raw + noise_s if noise_s is not None
+                else static_sigmas_raw)
+            results[f"static_sigmas_{typ}"] = static_sigmas
+            static_alphas = 1.0 - jnp.exp(-static_deltas * static_sigmas)
+            alphas = static_alphas
+
+        if output_transient and not use_fused_comp:
             noise_t = (jax.random.normal(k_noise_t, transient_sigmas_raw.shape)
                        * noise_std) if noise_std > 0 else None
             transient_sigmas = cp.softplus(
@@ -365,6 +416,7 @@ def render_rays(
             transient_alphas = 1.0 - jnp.exp(-transient_deltas * transient_sigmas)
             alphas = 1.0 - (1.0 - static_alphas) * (1.0 - transient_alphas)
 
+        if output_transient:
             if (not test_time) and ("fw" in flow) and typ == "fine":
                 # render with flowed xyzs (`rendering.py:217-232`)
                 def warp(xyz_w_pts, t_shift, which_flow, k_w):
@@ -435,17 +487,25 @@ def render_rays(
                 results["xyzs_fw_bw"] = xyz_fw + tr_flows_fw_bw
                 results["xyzs_bw_fw"] = xyz_bw + tr_flows_bw_fw
 
-        trans = cp.transmittance(alphas)
-        weights = alphas * trans
-        if output_transient:
-            static_weights = static_alphas * trans
-            transient_weights = transient_alphas * trans
+        if use_fused_comp:
+            static_weights = comp["static_weights"]
+            transient_weights = comp["transient_weights"]
+            weights = comp["weights"]
             results[f"static_weights_{typ}"] = static_weights
             results[f"transient_weights_{typ}"] = transient_weights
             results[f"weights_{typ}"] = weights
         else:
-            static_weights = weights
-            results[f"static_weights_{typ}"] = weights
+            trans = cp.transmittance(alphas)
+            weights = alphas * trans
+            if output_transient:
+                static_weights = static_alphas * trans
+                transient_weights = transient_alphas * trans
+                results[f"static_weights_{typ}"] = static_weights
+                results[f"transient_weights_{typ}"] = transient_weights
+                results[f"weights_{typ}"] = weights
+            else:
+                static_weights = weights
+                results[f"static_weights_{typ}"] = weights
 
         if test_time:
             if output_transient:
@@ -454,11 +514,17 @@ def render_rays(
             if typ == "coarse":
                 return  # `rendering.py:253-254`
 
-        results[f"depth_{typ}"] = cp.weighted_sum(weights, zs)
+        if use_fused_comp:
+            results[f"depth_{typ}"] = comp["depth"]
+        else:
+            results[f"depth_{typ}"] = cp.weighted_sum(weights, zs)
         if output_transient:
-            static_rgb_map = cp.weighted_sum(static_weights, static_rgbs)
             transient_rgb_map = cp.weighted_sum(transient_weights, transient_rgbs)
-            results[f"rgb_{typ}"] = static_rgb_map + transient_rgb_map
+            if use_fused_comp:
+                results[f"rgb_{typ}"] = comp["rgb"]
+            else:
+                static_rgb_map = cp.weighted_sum(static_weights, static_rgbs)
+                results[f"rgb_{typ}"] = static_rgb_map + transient_rgb_map
             transient_alpha = jnp.sum(transient_weights, -1)
             results[f"transient_alpha_{typ}"] = transient_alpha
             # gray background for the transient-only view (`rendering.py:264-265`)
