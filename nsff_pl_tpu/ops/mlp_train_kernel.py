@@ -40,6 +40,104 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 
 
+def branch_weight_names(*, D, skips, use_viewdir, static_branch, encode_t):
+    """The kernel-side weight list (packed heads, see pack_padded_weights)."""
+    static_names = ([f"static_xyz_{i}" for i in range(D)]
+                    + ["static_xyz_final"]
+                    + (["static_dir"] if use_viewdir else [])
+                    + ["static_sigma", "static_rgb"]) if static_branch else []
+    transient_names = ([f"transient_xyz_{i}" for i in range(D)]
+                       + ["transient_xyz_final", "transient_heads"]
+                       ) if encode_t else []
+    return static_names, transient_names
+
+
+def pack_padded_weights(params, weight_names, *, encode_t, output_flow,
+                        skips, xyz_w, n_tau, dir_w, n_a, encode_a):
+    """Params pytree -> kernel weight dict: transient heads concatenated
+    into one matmul, every input segment re-laid at a 128-aligned row
+    offset (mirrors the eval kernel's layout, ops/mlp_kernel.py)."""
+    packed = dict(params)
+    if encode_t:
+        hw = [params["transient_sigma"]["w"], params["transient_rgb"]["w"]]
+        hb = [params["transient_sigma"]["b"], params["transient_rgb"]["b"]]
+        if "fw" in output_flow:
+            hw.append(params["transient_flow_fw"]["w"])
+            hb.append(params["transient_flow_fw"]["b"])
+        if "bw" in output_flow:
+            hw.append(params["transient_flow_bw"]["w"])
+            hb.append(params["transient_flow_bw"]["b"])
+        packed["transient_heads"] = {"w": jnp.concatenate(hw, -1),
+                                     "b": jnp.concatenate(hb, -1)}
+    out = {}
+    for name in weight_names:
+        w = packed[name]["w"]
+        k = w.shape[0]
+        if name == "static_xyz_0":
+            w = _pad_rows(w, [((0, xyz_w), 0)], SEG)
+        elif name in [f"static_xyz_{i}" for i in skips]:
+            w = _pad_rows(w, [((0, xyz_w), 0), ((xyz_w, k), SEG)],
+                          SEG + 256)
+        elif name == "transient_xyz_0":
+            w = _pad_rows(w, [((0, k), 0)], SEG)
+        elif name in [f"transient_xyz_{i}" for i in skips]:
+            inw = xyz_w + n_tau
+            w = _pad_rows(w, [((0, inw), 0), ((inw, k), SEG)], SEG + 256)
+        elif name == "static_dir":
+            layout = [((0, 256), 0), ((256, 256 + dir_w), 256)]
+            total = 256 + SEG
+            if encode_a:
+                layout.append(((256 + dir_w, 256 + dir_w + n_a),
+                               256 + SEG))
+                total += SEG
+            w = _pad_rows(w, layout, total)
+        out[name] = {"w": w.astype(BF16),
+                     "b": packed[name]["b"].astype(F32)[None]}
+    return out
+
+
+def unpad_padded_grads(dws, weight_names, *, output_flow, skips, xyz_w,
+                       n_tau, dir_w, n_a, encode_a):
+    """Map padded/packed dW/db back onto the original params pytree."""
+    g = {}
+
+    def unpad(name, w):
+        if name == "static_xyz_0":
+            return w[:xyz_w]
+        if name in [f"static_xyz_{i}" for i in skips]:
+            return jnp.concatenate([w[:xyz_w], w[SEG:SEG + 256]], 0)
+        if name == "transient_xyz_0":
+            return w[:xyz_w + n_tau]
+        if name in [f"transient_xyz_{i}" for i in skips]:
+            return jnp.concatenate([w[:xyz_w + n_tau],
+                                    w[SEG:SEG + 256]], 0)
+        if name == "static_dir":
+            parts = [w[:256], w[256:256 + dir_w]]
+            if encode_a:
+                parts.append(w[256 + SEG:256 + SEG + n_a])
+            return jnp.concatenate(parts, 0)
+        return w
+
+    for name in weight_names:
+        dw = unpad(name, dws[name]["w"]).astype(F32)
+        db = dws[name]["b"][0].astype(F32)
+        if name == "transient_heads":
+            # split back into sigma/rgb/flow params
+            g["transient_sigma"] = {"w": dw[:, 0:1], "b": db[0:1]}
+            g["transient_rgb"] = {"w": dw[:, 1:4], "b": db[1:4]}
+            c = 4
+            if "fw" in output_flow:
+                g["transient_flow_fw"] = {"w": dw[:, c:c + 3],
+                                          "b": db[c:c + 3]}
+                c += 3
+            if "bw" in output_flow:
+                g["transient_flow_bw"] = {"w": dw[:, c:c + 3],
+                                          "b": db[c:c + 3]}
+        else:
+            g[name] = {"w": dw, "b": db}
+    return g
+
+
 def make_fused_nerf_train(
     n_samples: int,
     *,
@@ -90,13 +188,9 @@ def make_fused_nerf_train(
         BWD_BLK = bwd_rays * n_samples
 
     # weight list (packed heads, padded layouts — mirrors the eval kernel)
-    static_names = ([f"static_xyz_{i}" for i in range(D)]
-                    + ["static_xyz_final"]
-                    + (["static_dir"] if use_viewdir else [])
-                    + ["static_sigma", "static_rgb"]) if static_branch else []
-    transient_names = ([f"transient_xyz_{i}" for i in range(D)]
-                       + ["transient_xyz_final", "transient_heads"]
-                       ) if encode_t else []
+    static_names, transient_names = branch_weight_names(
+        D=D, skips=skips, use_viewdir=use_viewdir,
+        static_branch=static_branch, encode_t=encode_t)
     weight_names = static_names + transient_names
 
     fwd_eval = make_fused_nerf_eval(
@@ -106,87 +200,18 @@ def make_fused_nerf_train(
         flow_scale=flow_scale, D=D, skips=skips, block_rows=block_rows,
         static_branch=static_branch)
 
-    # ------------------------------------------------------------------
-    # padded weight prep shared by fwd(already in eval) and bwd
-    # ------------------------------------------------------------------
+    # padded weight prep shared by fwd (already in eval) and bwd
+    _pack_kw = dict(encode_t=encode_t, output_flow=output_flow, skips=skips,
+                    xyz_w=xyz_w, n_tau=n_tau, dir_w=dir_w, n_a=n_a,
+                    encode_a=encode_a)
+
     def _packed_padded_weights(params):
-        packed = dict(params)
-        if encode_t:
-            hw = [params["transient_sigma"]["w"], params["transient_rgb"]["w"]]
-            hb = [params["transient_sigma"]["b"], params["transient_rgb"]["b"]]
-            if "fw" in output_flow:
-                hw.append(params["transient_flow_fw"]["w"])
-                hb.append(params["transient_flow_fw"]["b"])
-            if "bw" in output_flow:
-                hw.append(params["transient_flow_bw"]["w"])
-                hb.append(params["transient_flow_bw"]["b"])
-            packed["transient_heads"] = {"w": jnp.concatenate(hw, -1),
-                                         "b": jnp.concatenate(hb, -1)}
-        out = {}
-        for name in weight_names:
-            w = packed[name]["w"]
-            k = w.shape[0]
-            if name == "static_xyz_0":
-                w = _pad_rows(w, [((0, xyz_w), 0)], SEG)
-            elif name in [f"static_xyz_{i}" for i in skips]:
-                w = _pad_rows(w, [((0, xyz_w), 0), ((xyz_w, k), SEG)],
-                              SEG + 256)
-            elif name == "transient_xyz_0":
-                w = _pad_rows(w, [((0, k), 0)], SEG)
-            elif name in [f"transient_xyz_{i}" for i in skips]:
-                inw = xyz_w + n_tau
-                w = _pad_rows(w, [((0, inw), 0), ((inw, k), SEG)], SEG + 256)
-            elif name == "static_dir":
-                layout = [((0, 256), 0), ((256, 256 + dir_w), 256)]
-                total = 256 + SEG
-                if encode_a:
-                    layout.append(((256 + dir_w, 256 + dir_w + n_a),
-                                   256 + SEG))
-                    total += SEG
-                w = _pad_rows(w, layout, total)
-            out[name] = {"w": w.astype(BF16),
-                         "b": packed[name]["b"].astype(F32)[None]}
-        return out
+        return pack_padded_weights(params, weight_names, **_pack_kw)
 
     def _unpad_grads(dws):
-        """Map padded/packed dW/db back onto the original params pytree."""
-        g = {}
-
-        def unpad(name, w):
-            if name == "static_xyz_0":
-                return w[:xyz_w]
-            if name in [f"static_xyz_{i}" for i in skips]:
-                return jnp.concatenate([w[:xyz_w], w[SEG:SEG + 256]], 0)
-            if name == "transient_xyz_0":
-                return w[:xyz_w + n_tau]
-            if name in [f"transient_xyz_{i}" for i in skips]:
-                return jnp.concatenate([w[:xyz_w + n_tau],
-                                        w[SEG:SEG + 256]], 0)
-            if name == "static_dir":
-                parts = [w[:256], w[256:256 + dir_w]]
-                if encode_a:
-                    parts.append(w[256 + SEG:256 + SEG + n_a])
-                return jnp.concatenate(parts, 0)
-            return w
-
-        for name in weight_names:
-            dw = unpad(name, dws[name]["w"]).astype(F32)
-            db = dws[name]["b"][0].astype(F32)
-            if name == "transient_heads":
-                # split back into sigma/rgb/flow params
-                g["transient_sigma"] = {"w": dw[:, 0:1], "b": db[0:1]}
-                g["transient_rgb"] = {"w": dw[:, 1:4], "b": db[1:4]}
-                c = 4
-                if "fw" in output_flow:
-                    g["transient_flow_fw"] = {"w": dw[:, c:c + 3],
-                                              "b": db[c:c + 3]}
-                    c += 3
-                if "bw" in output_flow:
-                    g["transient_flow_bw"] = {"w": dw[:, c:c + 3],
-                                              "b": db[c:c + 3]}
-            else:
-                g[name] = {"w": dw, "b": db}
-        return g
+        kw = dict(_pack_kw)
+        kw.pop("encode_t")
+        return unpad_padded_grads(dws, weight_names, **kw)
 
     # ------------------------------------------------------------------
     # backward kernels — one per branch so a single kernel's VMEM holds
