@@ -1,0 +1,195 @@
+"""Planar fused train-path renderer.
+
+Train-only counterpart of `models/rendering.py::render_rays` built on the
+dense-boundary kernels of `ops/raymarch_kernel.py`. Semantics are the
+reference's training forward — stratified sampling, dual-field additive
+compositing, 3-frame scene-flow warping, disocclusion
+(`/root/reference/models/rendering.py:52-300`) — but every per-sample
+quantity lives as dense (N, S) planes (S = N_samples fills the TPU lane
+width exactly) instead of lane-padded (N, S, 3)/(N, S, 16) arrays, and
+sample positions never materialize: the kernels assemble xyz = o + d*z
+(+ flow) internally.
+
+Scope (the flagship training recipe, README.md:227-234): fine model only
+(N_importance == 0), transient branch with fw+bw flows. Everything else
+(coarse-to-fine, test-time, eval) uses `render_rays`, which remains the
+reference-shaped implementation. Equivalence of the two paths is asserted
+in tests/test_planar_path.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nsff_pl_tpu.models import nerf as nerf_m
+from nsff_pl_tpu.models.rendering import RenderConfig, Z_FAR
+from nsff_pl_tpu.ops import compositing as cp
+from nsff_pl_tpu.ops.posenc import posenc
+from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
+from nsff_pl_tpu.ops.sampling import stratified_zs
+
+
+def planar_applicable(cfg: RenderConfig, output_transient: bool,
+                      output_transient_flow) -> bool:
+    """The planar path covers exactly the flagship train configuration."""
+    flow = tuple(output_transient_flow)
+    return (cfg.encode_t and output_transient
+            and cfg.N_importance == 0
+            and "fw" in flow and "bw" in flow)
+
+
+def _shard_planar(fn, mesh):
+    """shard_map a planar fused op over the data mesh: rays (and all their
+    planes) shard on the leading axis, weights replicate. Mirrors
+    `rendering._shard_over_rays` (pallas custom calls don't auto-partition
+    under GSPMD)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from nsff_pl_tpu.parallel.mesh import DATA_AXIS
+
+    ray = PS(DATA_AXIS)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(PS(), ray, ray, ray, ray, ray, ray, ray),
+                     out_specs=ray, check_rep=False)
+
+
+def render_train_planar(
+    params_fine: nerf_m.Params,
+    embeddings: Dict[str, jnp.ndarray],
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    rng: jax.Array,
+    cfg: RenderConfig,
+    *,
+    mesh=None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a training batch with planar layouts.
+
+    Returns a dict of:
+      - per-ray maps: rgb_fine (N,3), depth_fine (N,), rgb_fw/rgb_bw (N,3),
+        xyz_fine/xyz_fw/xyz_bw (N,3), disocc_fw/disocc_bw (N,1)
+      - dense planes (N,S): zs, static_weights/transient_weights/weights,
+        disoccs_fw/disoccs_bw
+      - component-plane 3-tuples of (N,S): xyzs, xyzs_fw, xyzs_bw,
+        xyzs_fw_bw, xyzs_bw_fw
+    consumed by `training.loss.compute_losses_planar`. The RNG key-split
+    structure matches `render_rays` so both paths draw identical
+    perturb/noise values.
+    """
+    n = rays.shape[0]
+    S = cfg.N_samples
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    use_viewdir = cfg.use_viewdir
+    dir_emb = posenc(d, cfg.S_emb_dir, cfg.N_emb_dir) if use_viewdir else None
+
+    k_perturb, _k_pdf_s, _k_pdf_t, k_rest = jax.random.split(rng, 4)
+    zs, _ = stratified_zs(k_perturb, n, S, cfg.perturb)
+    t_emb = nerf_m.embedding_lookup(embeddings["t"], ts)
+    encode_a = cfg.encode_a and "a" in embeddings
+    a_emb = nerf_m.embedding_lookup(embeddings["a"], ts) if encode_a else None
+
+    _k_coarse, k_fine = jax.random.split(k_rest)
+    k_noise_s, k_noise_t, k_fw, k_bw = jax.random.split(k_fine, 4)
+    noise_std = cfg.noise_std
+
+    def noise(k):
+        if noise_std <= 0:
+            return jnp.zeros((n, S))
+        return jax.random.normal(k, (n, S)) * noise_std
+
+    kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+                n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
+                flow_scale=cfg.flow_scale)
+    main_op = make_planar_nerf_train(
+        S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
+        output_flow=("fw", "bw"), **kker)
+    warp_ops = {w: make_planar_nerf_train(
+        S, static_branch=False, flow_in=True, encode_t=True,
+        output_flow=(w,), **kker) for w in ("fw", "bw")}
+    if mesh is not None:
+        main_op = _shard_planar(main_op, mesh)
+        warp_ops = {w: _shard_planar(op, mesh)
+                    for w, op in warp_ops.items()}
+
+    res: Dict[str, jnp.ndarray] = {}
+    main = main_op(params_fine, o, d, zs, None, dir_emb, a_emb, t_emb)
+
+    far = zs > Z_FAR  # flow zeroed beyond z_far (`rendering.py:316`)
+    ffw = tuple(jnp.where(far, 0.0, main[k])
+                for k in ("ffw_x", "ffw_y", "ffw_z"))
+    fbw = tuple(jnp.where(far, 0.0, main[k])
+                for k in ("fbw_x", "fbw_y", "fbw_z"))
+    srgb = (main["srgb_r"], main["srgb_g"], main["srgb_b"])
+    trgb = (main["trgb_r"], main["trgb_g"], main["trgb_b"])
+
+    d_s, d_t = cp.deltas_from_zs(zs)
+    tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s))
+    tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t))
+    static_alphas = 1.0 - jnp.exp(-tau_s)
+    transient_alphas = 1.0 - jnp.exp(-tau_t)
+    # alpha = 1-(1-a_s)(1-a_t) = 1-exp(-(tau_s+tau_t)); T via the matmul
+    # cumsum identity (no cumprod scans)
+    alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
+    trans = cp.transmittance_from_taus(tau_s + tau_t)
+    sw = static_alphas * trans
+    tw = transient_alphas * trans
+    w = alphas * trans
+    res["static_weights"] = sw
+    res["transient_weights"] = tw
+    res["weights"] = w
+    res["zs"] = zs
+
+    res["rgb_fine"] = jnp.stack(
+        [jnp.sum(sw * sc + tw * tc, -1) for sc, tc in zip(srgb, trgb)], -1)
+    res["depth_fine"] = jnp.sum(w * zs, -1)
+
+    xyz = tuple(o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3))
+    res["xyzs"] = xyz
+    res["xyzs_fw"] = tuple(x + f for x, f in zip(xyz, ffw))
+    res["xyzs_bw"] = tuple(x + f for x, f in zip(xyz, fbw))
+
+    def warp(flows, t_shift, which, k_w):
+        """`render_transient_warping` (`rendering.py:98-140`) on planes:
+        evaluate the transient field at xyz+flow/t+shift and composite
+        against the CURRENT static field."""
+        ts_shift = jnp.clip(ts + t_shift, 0, cfg.max_t)
+        t_emb_w = nerf_m.embedding_lookup(embeddings["t"], ts_shift)
+        out = warp_ops[which](params_fine, o, d, zs, flows, None, None,
+                              t_emb_w)
+        flow_back = tuple(jnp.where(far, 0.0, out[f"f{which}_{c}"])
+                          for c in ("x", "y", "z"))
+        tau_w = d_t * cp.softplus(out["tsig"] + noise(k_w))
+        ta_w = 1.0 - jnp.exp(-tau_w)
+        trans_w = cp.transmittance_from_taus(tau_s + tau_w)
+        sw_w = static_alphas * trans_w
+        tw_w = ta_w * trans_w
+        rgb_w = jnp.stack(
+            [jnp.sum(sw_w * sc + tw_w * out[f"trgb_{c}"], -1)
+             for sc, c in zip(srgb, "rgb")], -1)
+        return rgb_w, flow_back, tw_w
+
+    res["rgb_fw"], flowb_fw, tw_fw = warp(ffw, +1, "bw", k_fw)
+    res["rgb_bw"], flowb_bw, tw_bw = warp(fbw, -1, "fw", k_bw)
+    res["xyzs_fw_bw"] = tuple(x + f for x, f in zip(res["xyzs_fw"],
+                                                    flowb_fw))
+    res["xyzs_bw_fw"] = tuple(x + f for x, f in zip(res["xyzs_bw"],
+                                                    flowb_bw))
+
+    # composited flow expectations (`rendering.py:280-287`)
+    res["xyz_fine"] = jnp.stack([jnp.sum(w * x, -1) for x in xyz], -1)
+    flow_fw_map = jnp.stack([jnp.sum(w * f, -1) for f in ffw], -1)
+    flow_bw_map = jnp.stack([jnp.sum(w * f, -1) for f in fbw], -1)
+    res["xyz_fw"] = res["xyz_fine"] + flow_fw_map
+    res["xyz_bw"] = res["xyz_fine"] + flow_bw_map
+
+    # disocclusion = 1 - |sum(warped_w - w)|, stop-grad (`rendering.py:289-295`)
+    occ_fw = jax.lax.stop_gradient(tw_fw - tw)
+    occ_bw = jax.lax.stop_gradient(tw_bw - tw)
+    res["disocc_fw"] = 1.0 - jnp.abs(jnp.sum(occ_fw, -1, keepdims=True))
+    res["disocc_bw"] = 1.0 - jnp.abs(jnp.sum(occ_bw, -1, keepdims=True))
+    res["disoccs_fw"] = 1.0 - jnp.abs(occ_fw)
+    res["disoccs_bw"] = 1.0 - jnp.abs(occ_bw)
+    return res

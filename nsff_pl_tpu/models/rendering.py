@@ -72,6 +72,13 @@ class RenderConfig:
     # OFF by default — it is validated groundwork for the full fusion
     # (docs/RAYMARCH_KERNEL.md), not a win on its own.
     fused_compositing: bool = False
+    # planar fused train path (models/raymarch.py + ops/raymarch_kernel):
+    # dense (N, S) boundaries between kernels/loss, xyz assembled
+    # in-kernel. 'auto' = use it whenever the Pallas train backend is
+    # active and the config is in its envelope (encode_t, fw+bw flows,
+    # N_importance == 0); 'on' forces it (CPU interpret for tests),
+    # 'off' keeps the reference-shaped path.
+    fused_train: str = "auto"
     # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
     # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
     # selector-matmul posenc + packed transient heads) measures 1.34x

@@ -54,6 +54,25 @@ def transmittance(alphas):
     return jnp.cumprod(shifted, -1)
 
 
+def transmittance_from_taus(taus):
+    """Shared transmittance from optical thicknesses tau = delta * sigma:
+
+        T_i = prod_{j<i}(1 - alpha_j) = prod_{j<i} exp(-tau_j)
+            = exp(-sum_{j<i} tau_j)
+
+    — mathematically identical to `transmittance(1 - exp(-taus))` but the
+    exclusive cumsum is ONE strictly-lower-triangular matmul instead of a
+    cumprod (XLA lowers cumprod to log-depth strided-slice scans costing
+    ~8 ms/step at batch 8192 across the three compositing passes; the
+    (S, S) matmul is MXU-trivial with a matmul adjoint). Also better
+    conditioned: no 1-alpha == 0 underflow at opaque samples.
+    """
+    S = taus.shape[-1]
+    excl = (jnp.arange(S)[:, None] < jnp.arange(S)[None, :]).astype(
+        taus.dtype)  # excl[j, i] = 1 for j < i
+    return jnp.exp(-(taus @ excl))
+
+
 def composite_two_fields(static_alphas, transient_alphas):
     """NeRF-W additive compositing of two alpha fields.
 

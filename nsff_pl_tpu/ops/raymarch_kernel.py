@@ -458,8 +458,11 @@ def make_planar_nerf_train(
                         pe_id > 0, dpe,
                         dpe * _sin_poly(xs + pe_phase
                                         + 1.5707963267948966))
-                    dfl_rows = jnp.dot(dxs.astype(BF16),
-                                       pe_sel.T.astype(BF16),
+                    # f32 dot: the planar transpose that follows would
+                    # otherwise fold into the dot as a transposed-
+                    # contraction bf16 form XLA:CPU cannot execute; the
+                    # (SEG, 3) contraction is tiny either way
+                    dfl_rows = jnp.dot(dxs, pe_sel.T,
                                        preferred_element_type=F32)
                     dfl = dfl_rows.T.reshape(3, R_B, n_samples)
                     for i, ref in enumerate(dfl_refs):

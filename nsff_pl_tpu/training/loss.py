@@ -79,6 +79,65 @@ def _masked_mean(x, mask, axis=None):
     return num / den
 
 
+def _flow_uv_terms(ret, masks, xyz_fw, xyz_bw, batch, cfg, lambda_geo,
+                   Ks, Ps):
+    """2D flow-consistency terms: project the composited flowed points
+    with the t±1 camera matrices and L1 against the RAFT targets
+    (`losses.py:99-124`). Shared by both loss layouts."""
+    cam_ids = batch["cam_ids"]
+    ts = batch["ts"]
+    Ks_r = Ks[cam_ids]  # (N, 3, 3)
+    xyz_fw_w = ray_ops.ndc2world(xyz_fw, Ks_r)
+    xyz_bw_w = ray_ops.ndc2world(xyz_bw, Ks_r)
+
+    ts_fw = jnp.clip(ts + 1, None, cfg.max_t)
+    Ps_fw = Ps[cam_ids, ts_fw]  # (N, 3, 4)
+    uvd_fw = jnp.einsum("nij,nj->ni", Ps_fw[:, :, :3], xyz_fw_w) \
+        + Ps_fw[:, :, 3]
+    uv_fw = uvd_fw[:, :2] / (jnp.abs(uvd_fw[:, 2:]) + 1e-8)
+
+    ts_bw = jnp.clip(ts - 1, 0, None)
+    Ps_bw = Ps[cam_ids, ts_bw]
+    uvd_bw = jnp.einsum("nij,nj->ni", Ps_bw[:, :, :3], xyz_bw_w) \
+        + Ps_bw[:, :, 3]
+    uv_bw = uvd_bw[:, :2] / (jnp.abs(uvd_bw[:, 2:]) + 1e-8)
+
+    # the reference drops invalid rays by boolean indexing
+    # (losses.py:115-124); here: fixed-shape masked means
+    valid_fw = ((uvd_fw[:, 2] > 0) & (ts < cfg.max_t)).astype(jnp.float32)
+    valid_bw = ((uvd_bw[:, 2] > 0) & (ts > 0)).astype(jnp.float32)
+    ret["flow_fw_l"] = (lambda_geo / 2) * jnp.mean(
+        jnp.abs(uv_fw - batch["uv_fw"]), -1)
+    masks["flow_fw_l"] = valid_fw
+    ret["flow_bw_l"] = (lambda_geo / 2) * jnp.mean(
+        jnp.abs(uv_bw - batch["uv_bw"]), -1)
+    masks["flow_bw_l"] = valid_bw
+    return Ks_r
+
+
+def _finalize_terms(ret, masks, weights, cfg):
+    """Final reduction: optional priority weights, optional top-k hard
+    mining, then mean (losses.py:162-169)."""
+    out: Dict[str, jnp.ndarray] = {}
+    for k, per_ray in ret.items():
+        if weights is not None:
+            per_ray = per_ray * weights
+        mask = masks.get(k)
+        if cfg.topk < 1.0:
+            num_hard = max(int(cfg.topk * per_ray.shape[0]), 1)
+            if mask is not None:
+                per_ray = jnp.where(mask > 0, per_ray, -jnp.inf)
+            vals, _ = jax.lax.top_k(per_ray, num_hard)
+            finite = jnp.isfinite(vals).astype(vals.dtype)
+            out[k] = _masked_mean(jnp.where(jnp.isfinite(vals), vals, 0.0),
+                                  finite)
+        elif mask is not None:
+            out[k] = _masked_mean(per_ray, mask)
+        else:
+            out[k] = jnp.mean(per_ray)
+    return out
+
+
 def compute_losses(
     results: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
@@ -122,32 +181,9 @@ def compute_losses(
         ret["cross_entropy_l"] = cross_entropy_w * jnp.sum(
             tr_w * jnp.log(results["static_weights_fine"] + 1e-8), -1)
 
-        cam_ids = batch["cam_ids"]
-        ts = batch["ts"]
-        Ks_r = Ks[cam_ids]  # (N, 3, 3)
-        xyz_fw_w = ray_ops.ndc2world(results["xyz_fw"], Ks_r)
-        xyz_bw_w = ray_ops.ndc2world(results["xyz_bw"], Ks_r)
-
-        ts_fw = jnp.clip(ts + 1, None, cfg.max_t)
-        Ps_fw = Ps[cam_ids, ts_fw]  # (N, 3, 4)
-        uvd_fw = jnp.einsum("nij,nj->ni", Ps_fw[:, :, :3], xyz_fw_w) + Ps_fw[:, :, 3]
-        uv_fw = uvd_fw[:, :2] / (jnp.abs(uvd_fw[:, 2:]) + 1e-8)
-
-        ts_bw = jnp.clip(ts - 1, 0, None)
-        Ps_bw = Ps[cam_ids, ts_bw]
-        uvd_bw = jnp.einsum("nij,nj->ni", Ps_bw[:, :, :3], xyz_bw_w) + Ps_bw[:, :, 3]
-        uv_bw = uvd_bw[:, :2] / (jnp.abs(uvd_bw[:, 2:]) + 1e-8)
-
-        # the reference drops invalid rays by boolean indexing
-        # (losses.py:115-124); here: fixed-shape masked means
-        valid_fw = ((uvd_fw[:, 2] > 0) & (ts < cfg.max_t)).astype(jnp.float32)
-        valid_bw = ((uvd_bw[:, 2] > 0) & (ts > 0)).astype(jnp.float32)
-        ret["flow_fw_l"] = (lambda_geo / 2) * jnp.mean(
-            jnp.abs(uv_fw - batch["uv_fw"]), -1)
-        masks["flow_fw_l"] = valid_fw
-        ret["flow_bw_l"] = (lambda_geo / 2) * jnp.mean(
-            jnp.abs(uv_bw - batch["uv_bw"]), -1)
-        masks["flow_bw_l"] = valid_bw
+        Ks_r = _flow_uv_terms(ret, masks, results["xyz_fw"],
+                              results["xyz_bw"], batch, cfg, lambda_geo,
+                              Ks, Ps)
 
         # photometric warping loss, normalized by the batch-mean
         # disocclusion weight (losses.py:126-133)
@@ -185,26 +221,109 @@ def compute_losses(
             jnp.abs(sf_fw[:, 1:] - sf_fw[:, :-1]) * sp_w
             + jnp.abs(sf_bw[:, 1:] - sf_bw[:, :-1]) * sp_w, (-2, -1))
 
-    # final reduction: optional priority weights, optional top-k hard
-    # mining, then mean (losses.py:162-169)
-    out: Dict[str, jnp.ndarray] = {}
-    for k, per_ray in ret.items():
-        if weights is not None:
-            per_ray = per_ray * weights
-        mask = masks.get(k)
-        if cfg.topk < 1.0:
-            num_hard = max(int(cfg.topk * per_ray.shape[0]), 1)
-            if mask is not None:
-                per_ray = jnp.where(mask > 0, per_ray, -jnp.inf)
-            vals, _ = jax.lax.top_k(per_ray, num_hard)
-            finite = jnp.isfinite(vals).astype(vals.dtype)
-            out[k] = _masked_mean(jnp.where(jnp.isfinite(vals), vals, 0.0),
-                                  finite)
-        elif mask is not None:
-            out[k] = _masked_mean(per_ray, mask)
-        else:
-            out[k] = jnp.mean(per_ray)
-    return out
+    return _finalize_terms(ret, masks, weights, cfg)
+
+
+def compute_losses_planar(
+    results: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    cfg: LossConfig,
+    *,
+    epoch,
+    Ks: jnp.ndarray,
+    Ps: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """`compute_losses` for the planar train path
+    (`models/raymarch.py::render_train_planar`): per-sample vectors arrive
+    as 3-tuples of dense (N, S) component planes instead of (N, S, 3)
+    arrays, so nothing here touches a lane-padded layout. Term-for-term
+    identical to `compute_losses` (asserted in tests/test_planar_path.py);
+    the fine-only scope means no coarse terms."""
+    epoch = jnp.asarray(epoch, jnp.float32)
+    lambda_geo = cfg.lambda_geo_init * 0.1 ** jnp.floor(epoch / 10.0)
+
+    ret: Dict[str, jnp.ndarray] = {}
+    masks: Dict[str, jnp.ndarray] = {}
+
+    rgbs = batch["rgbs"]
+    ret["col_l"] = jnp.mean((results["rgb_fine"] - rgbs) ** 2, -1)
+    ret["disp_l"] = lambda_geo * shiftscale_invariant_depthloss(
+        results["depth_fine"], batch["disps"])
+
+    tw = results["transient_weights"]  # (N, S)
+    ret["entropy_l"] = cfg.lambda_ent * jnp.sum(
+        -tw * jnp.log(tw + 1e-8), -1)
+
+    cross_entropy_w = cfg.lambda_ent / 5 * jnp.minimum(epoch / 10.0, 1.0)
+    tr_w = _dilate_along_samples(jax.lax.stop_gradient(tw), cfg.thickness)
+    ret["cross_entropy_l"] = cross_entropy_w * jnp.sum(
+        tr_w * jnp.log(results["static_weights"] + 1e-8), -1)
+
+    Ks_r = _flow_uv_terms(ret, masks, results["xyz_fw"],
+                          results["xyz_bw"], batch, cfg, lambda_geo,
+                          Ks, Ps)
+
+    # photometric warping loss (losses.py:126-133)
+    pho_l = (results["disocc_fw"] * (results["rgb_fw"] - rgbs) ** 2
+             / jnp.mean(results["disocc_fw"]))
+    pho_l = pho_l + (results["disocc_bw"] * (results["rgb_bw"] - rgbs) ** 2
+                     / jnp.mean(results["disocc_bw"]))
+    ret["pho_l"] = jnp.mean(pho_l, -1)
+
+    # cycle consistency (losses.py:135-141): mean over (S, 3) of
+    # disoccs * |xyz_fw_bw - xyz| == sum_c of plane products / (3*S)
+    S = tw.shape[1]
+    cyc_abs_fw = sum(jnp.abs(a - b) for a, b in zip(results["xyzs_fw_bw"],
+                                                    results["xyzs"]))
+    cyc_abs_bw = sum(jnp.abs(a - b) for a, b in zip(results["xyzs_bw_fw"],
+                                                    results["xyzs"]))
+    cyc_l = (results["disoccs_fw"] * cyc_abs_fw
+             / jnp.mean(results["disoccs_fw"])
+             + results["disoccs_bw"] * cyc_abs_bw
+             / jnp.mean(results["disoccs_bw"]))
+    ret["cyc_l"] = jnp.sum(cyc_l, -1) / (3 * S)
+
+    n_near = int(S * Z_FAR)  # static slice (losses.py:143-146)
+    # minor-dim (lane) slices of dense (N, S) planes force XLA layout
+    # copies (~0.13 ms each at batch 8192, ~8 ms/step total with their
+    # pad adjoints); instead keep every op full-width and restrict via
+    # reduction masks, with adjacent-sample differences as one matmul by
+    # a bidiagonal difference matrix (dense, MXU-trivial, dense adjoint)
+    col = jnp.arange(S)
+    m_near = (col < n_near).astype(jnp.float32)[None]  # (1, S)
+    m_diff = (col < n_near - 1).astype(jnp.float32)[None]
+    diff_m = (jnp.eye(S, S, -1) - jnp.eye(S)).at[:, S - 1].set(0.0)
+
+    def ndc2world_planes(planes):
+        """Component-planar `ray_ops.ndc2world`, full width."""
+        fx, fy = Ks_r[:, 0:1, 0], Ks_r[:, 1:2, 1]
+        cx, cy = Ks_r[:, 0:1, 2], Ks_r[:, 1:2, 2]
+        x, y, z = planes
+        rz = 2.0 / (z - 1 - 1e-6)
+        return (-rz * x * cx / fx, -rz * y * cy / fy, rz)
+
+    xyzs_w = ndc2world_planes(results["xyzs"])
+    xyzs_fw_w = ndc2world_planes(results["xyzs_fw"])
+    xyzs_bw_w = ndc2world_planes(results["xyzs_bw"])
+
+    ret["reg_temp_sm_l"] = cfg.lambda_reg * sum(
+        jnp.sum(jnp.abs(f + b - 2 * x) * m_near, -1)
+        for f, b, x in zip(xyzs_fw_w, xyzs_bw_w, xyzs_w)) / (3 * n_near)
+    ret["reg_min_l"] = cfg.lambda_reg * sum(
+        jnp.sum((jnp.abs(f - x) + jnp.abs(b - x)) * m_near, -1)
+        for f, b, x in zip(xyzs_fw_w, xyzs_bw_w, xyzs_w)) / (3 * n_near)
+
+    def adiff(p):  # adiff(p)[:, s] = p[:, s+1] - p[:, s]
+        return p @ diff_m
+
+    dist = jnp.sqrt(sum(adiff(x) ** 2 for x in xyzs_w) + 1e-20)
+    sp_w = jnp.exp(-2 * dist) * m_diff
+    ret["reg_sp_sm_l"] = cfg.lambda_reg * sum(
+        jnp.sum((jnp.abs(adiff(f - x)) + jnp.abs(adiff(b - x))) * sp_w, -1)
+        for f, b, x in zip(xyzs_fw_w, xyzs_bw_w, xyzs_w)) / (3 * (n_near - 1))
+
+    return _finalize_terms(ret, masks, weights, cfg)
 
 
 def total_loss(loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:

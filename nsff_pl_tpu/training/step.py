@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import optax
 
 from nsff_pl_tpu.data.pipeline import _sample_batch
+from nsff_pl_tpu.models.raymarch import planar_applicable, render_train_planar
 from nsff_pl_tpu.models.rendering import RenderConfig, render_rays
 from nsff_pl_tpu.parallel import mesh as mesh_lib
-from nsff_pl_tpu.training.loss import LossConfig, compute_losses, total_loss
+from nsff_pl_tpu.training.loss import (LossConfig, compute_losses,
+                                       compute_losses_planar, total_loss)
 
 
 class TrainState(NamedTuple):
@@ -64,6 +66,21 @@ def make_train_step(
     hard-sampling distribution, `t` the scheduler-chosen frame, and
     metrics contains the per-term losses + PSNR (`train.py:187-196`).
     """
+    # planar fused path: dense-boundary kernels + component-plane loss
+    # (models/raymarch.py); covers the flagship recipe when the Pallas
+    # train backend would be active (or is forced via fused_train='on')
+    if render_cfg.fused_train not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused_train {render_cfg.fused_train!r}")
+    tb = render_cfg.train_backend
+    pallas_active = (tb == "pallas"
+                     or (tb == "auto" and jax.default_backend() != "cpu"
+                         and render_cfg.compute_dtype == "bfloat16"))
+    use_planar = (planar_applicable(render_cfg, output_transient,
+                                    output_transient_flow)
+                  and (render_cfg.fused_train == "on"
+                       or (render_cfg.fused_train == "auto"
+                           and pallas_active)))
+
     def step_fn(state: TrainState, table, weights, Ks, Ps, rng, t):
         k_sample, k_render = jax.random.split(rng)
         batch = _sample_batch(table, weights, k_sample, t, batch_size,
@@ -74,18 +91,25 @@ def make_train_step(
 
         def loss_fn(params):
             models, embeddings = _split_params(params)
-            results = render_rays(
-                models, embeddings, batch["rays"],
-                batch["ts"] if output_transient else None,
-                k_render, render_cfg,
-                test_time=False,
-                output_transient=output_transient,
-                output_transient_flow=output_transient_flow,
-                mesh=mesh)
-            loss_d = compute_losses(
-                results, batch, loss_cfg, epoch=epoch,
-                output_transient_flow=output_transient_flow,
-                Ks=Ks, Ps=Ps)
+            if use_planar:
+                results = render_train_planar(
+                    models["fine"], embeddings, batch["rays"],
+                    batch["ts"], k_render, render_cfg, mesh=mesh)
+                loss_d = compute_losses_planar(
+                    results, batch, loss_cfg, epoch=epoch, Ks=Ks, Ps=Ps)
+            else:
+                results = render_rays(
+                    models, embeddings, batch["rays"],
+                    batch["ts"] if output_transient else None,
+                    k_render, render_cfg,
+                    test_time=False,
+                    output_transient=output_transient,
+                    output_transient_flow=output_transient_flow,
+                    mesh=mesh)
+                loss_d = compute_losses(
+                    results, batch, loss_cfg, epoch=epoch,
+                    output_transient_flow=output_transient_flow,
+                    Ks=Ks, Ps=Ps)
             loss = total_loss(loss_d)
             mse = jnp.mean((results["rgb_fine"] - batch["rgbs"]) ** 2)
             return loss, (loss_d, mse, results["rgb_fine"], batch["rand_idx"])

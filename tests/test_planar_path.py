@@ -1,0 +1,174 @@
+"""Planar train path vs the reference-shaped path: loss + gradient
+equivalence (CPU, kernels interpreted), and one-step integration through
+`make_train_step` incl. a sharded mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsff_pl_tpu.models import nerf as nerf_m
+from nsff_pl_tpu.models.raymarch import render_train_planar
+from nsff_pl_tpu.models.rendering import RenderConfig, render_rays
+from nsff_pl_tpu.training.loss import (LossConfig, compute_losses,
+                                       compute_losses_planar, total_loss)
+
+N, S, FRAMES, NTAU = 48, 16, 4, 16
+
+
+def _setup(encode_a=False):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=True, encode_appearance=encode_a,
+            in_channels_t=NTAU, encode_transient=True, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], FRAMES, NTAU),
+    }
+    if encode_a:
+        params["embedding_a"] = nerf_m.init_embedding(ks[2], FRAMES, 48)
+    rng = np.random.RandomState(0)
+    rays = np.zeros((N, 6), np.float32)
+    rays[:, 0:2] = rng.rand(N, 2) * 2 - 1
+    rays[:, 2] = -1.0 + 0.1 * rng.rand(N)
+    rays[:, 3:5] = (rng.rand(N, 2) - 0.5) * 0.4
+    rays[:, 5] = 1.0 - rays[:, 2]
+    batch = {
+        "rays": jnp.asarray(rays),
+        "ts": jnp.asarray(rng.randint(0, FRAMES, N)),
+        "rgbs": jnp.asarray(rng.rand(N, 3).astype(np.float32)),
+        "disps": jnp.asarray(rng.rand(N).astype(np.float32)),
+        "cam_ids": jnp.zeros((N,), jnp.int32),
+        "uv_fw": jnp.asarray(rng.rand(N, 2).astype(np.float32)),
+        "uv_bw": jnp.asarray(rng.rand(N, 2).astype(np.float32)),
+    }
+    f = 20.0
+    Ks = jnp.asarray(np.array(
+        [[[f, 0, 8], [0, f, 8], [0, 0, 1]]], np.float32))
+    Ps = jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32),
+                             (1, FRAMES, 1, 1)))
+    cfg = RenderConfig(N_samples=S, N_importance=0, perturb=1.0,
+                       noise_std=1.0, use_viewdir=True, encode_a=encode_a,
+                       encode_t=True, N_tau=NTAU, max_t=FRAMES - 1,
+                       compute_dtype="bfloat16", train_backend="pallas")
+    lcfg = LossConfig(max_t=FRAMES - 1)
+    return params, batch, Ks, Ps, cfg, lcfg
+
+
+def _split(params):
+    models = {"fine": params["nerf_fine"]}
+    emb = {"t": params["embedding_t"]}
+    if "embedding_a" in params:
+        emb["a"] = params["embedding_a"]
+    return models, emb
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(a).max(), 1e-4)
+
+
+def test_planar_loss_terms_and_grads_match_pallas_path():
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    key = jax.random.PRNGKey(5)
+    flow = ("fw", "bw", "disocc")
+
+    def loss_ref(p):
+        models, emb = _split(p)
+        res = render_rays(models, emb, batch["rays"], batch["ts"], key,
+                          cfg, test_time=False, output_transient=True,
+                          output_transient_flow=flow)
+        ld = compute_losses(res, batch, lcfg, epoch=2,
+                            output_transient_flow=flow, Ks=Ks, Ps=Ps)
+        return total_loss(ld), (ld, res["rgb_fine"])
+
+    def loss_planar(p):
+        models, emb = _split(p)
+        res = render_train_planar(models["fine"], emb, batch["rays"],
+                                  batch["ts"], key, cfg)
+        ld = compute_losses_planar(res, batch, lcfg, epoch=2, Ks=Ks, Ps=Ps)
+        return total_loss(ld), (ld, res["rgb_fine"])
+
+    (v1, (ld1, rgb1)), g1 = jax.value_and_grad(loss_ref, has_aux=True)(
+        params)
+    (v2, (ld2, rgb2)), g2 = jax.value_and_grad(loss_planar, has_aux=True)(
+        params)
+
+    assert set(ld1) == set(ld2)
+    for k in ld1:
+        np.testing.assert_allclose(float(ld1[k]), float(ld2[k]),
+                                   rtol=2e-2, atol=2e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2),
+                               atol=6e-3)
+    assert abs(float(v1) - float(v2)) < 2e-2 * max(abs(float(v1)), 1.0)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, leaf in flat1:
+        r = _rel(leaf, flat2[path])
+        assert r < 0.3, f"{jax.tree_util.keystr(path)}: rel {r}"
+
+
+def test_planar_step_integration_and_mesh():
+    """make_train_step auto-selects the planar path when forced 'on';
+    sharded (2 virtual devices) and unsharded agree."""
+    import optax
+
+    from nsff_pl_tpu.parallel import make_mesh
+    from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    cfg = dataclasses.replace(cfg, fused_train="on")
+    rng = np.random.RandomState(1)
+    table = rng.rand(FRAMES, 256, 16).astype(np.float32)
+    table[..., 0:2] = table[..., 0:2] * 2 - 1
+    table[..., 2] = -1.0 + 0.1 * table[..., 2]
+    table[..., 3:5] = (table[..., 3:5] - 0.5) * 0.4
+    table[..., 5] = 1.0 - table[..., 2]
+    table[..., 9] = np.arange(FRAMES, dtype=np.float32)[:, None]
+    table = jnp.asarray(table)
+    weights = jnp.ones(table.shape[:2], jnp.float32)
+    tx = optax.adam(1e-3)
+
+    def run(mesh):
+        step = make_train_step(
+            cfg, lcfg, tx, output_transient=True,
+            output_transient_flow=("fw", "bw", "disocc"),
+            steps_per_epoch=10, batch_size=32, mesh=mesh, donate=False)
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        state2, metrics, aux = step(state, table, weights, Ks, Ps,
+                                    jax.random.PRNGKey(0), jnp.asarray(1))
+        return state2, metrics
+
+    s1, m1 = run(None)
+    assert np.isfinite(float(m1["loss"]))
+    before = np.asarray(params["nerf_fine"]["static_xyz_0"]["w"])
+    after = np.asarray(s1.params["nerf_fine"]["static_xyz_0"]["w"])
+    assert not np.allclose(before, after)
+
+    s2, m2 = run(make_mesh(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for p1, p2 in zip(jax.tree.leaves(s1.params),
+                      jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   atol=1e-5)
+
+
+def test_planar_with_appearance():
+    """encode_a exercises the a-embedding conditioning + its gradient."""
+    params, batch, Ks, Ps, cfg, lcfg = _setup(encode_a=True)
+    key = jax.random.PRNGKey(5)
+    models, emb = _split(params)
+
+    def loss_planar(p):
+        m, e = _split(p)
+        res = render_train_planar(m["fine"], e, batch["rays"],
+                                  batch["ts"], key, cfg)
+        ld = compute_losses_planar(res, batch, lcfg, epoch=0, Ks=Ks, Ps=Ps)
+        return total_loss(ld)
+
+    g = jax.grad(loss_planar)(params)
+    assert np.isfinite(np.asarray(g["embedding_a"])).all()
+    assert np.abs(np.asarray(g["embedding_a"])).max() > 0
