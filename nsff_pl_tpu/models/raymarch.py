@@ -33,11 +33,19 @@ from nsff_pl_tpu.ops.sampling import stratified_zs
 
 def planar_applicable(cfg: RenderConfig, output_transient: bool,
                       output_transient_flow) -> bool:
-    """The planar path covers exactly the flagship train configuration."""
+    """The planar path covers exactly the flagship train configuration.
+
+    On real TPU the plane layout additionally needs S = N_samples to be a
+    multiple of the 128-lane width: the kernels' (C, R, S) plane reshapes
+    only lower in Mosaic when the minor dim stays lane-aligned (S=32
+    fails with an unsupported tpu.reshape). Other sample counts fall back
+    to the packed-boundary kernels."""
     flow = tuple(output_transient_flow)
+    lanes_ok = (jax.default_backend() == "cpu"
+                or cfg.N_samples % 128 == 0)
     return (cfg.encode_t and output_transient
             and cfg.N_importance == 0
-            and "fw" in flow and "bw" in flow)
+            and "fw" in flow and "bw" in flow and lanes_ok)
 
 
 def _shard_planar(fn, mesh):

@@ -7,11 +7,37 @@ import os
 import numpy as np
 
 
+def _frame(H, W, N, i, rng):
+    """Structured, learnable frame: smooth sinusoid background (shifting
+    with the camera's lateral translation so geometry is plausibly
+    consistent) plus a bright disk moving across frames (dynamic content
+    for the transient field + flows). Unlike the default uniform-noise
+    frames — whose best achievable PSNR is the predict-the-mean
+    10*log10(12) = 10.79 dB at scales too large to memorize — this is
+    fittable to high PSNR, so it supports convergence validation at
+    reference scale."""
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    shift = 0.05 * i * 0.9 * W / 5.0  # camera dx * focal / mean depth
+    img = np.stack([
+        0.5 + 0.35 * np.sin(2 * np.pi * (x + shift) / W * 3.0),
+        0.5 + 0.35 * np.sin(2 * np.pi * y / H * 2.0 + 1.0),
+        0.5 + 0.25 * np.sin(2 * np.pi * ((x + shift) / W + y / H) * 2.0),
+    ], -1)
+    cx = (0.15 + 0.7 * i / max(N - 1, 1)) * W
+    cy = H * (0.5 + 0.15 * np.sin(2 * np.pi * i / max(N, 1)))
+    r2 = (x - cx) ** 2 + (y - cy) ** 2
+    disk = np.exp(-r2 / (0.08 * min(H, W)) ** 2)[..., None]
+    img = img * (1 - disk) + disk * np.array([0.95, 0.3, 0.2])
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def make_synthetic_scene(root: str, W: int = 64, H: int = 48, N: int = 5,
-                         seed: int = 0):
+                         seed: int = 0, learnable: bool = False):
     """Create a valid scene directory under `root` with `N` frames of
     `W x H` images. Camera translates laterally looking down +z (COLMAP
-    convention); 3D points lie 3-8 units in front."""
+    convention); 3D points lie 3-8 units in front. With `learnable`,
+    frames are structured content (see `_frame`) instead of uniform
+    noise."""
     import cv2
     from PIL import Image as PILImage
 
@@ -42,7 +68,8 @@ def make_synthetic_scene(root: str, W: int = 64, H: int = 48, N: int = 5,
     colmap.write_model(cams, images, pts, os.path.join(root, "sparse/0"))
 
     for i in range(N):
-        img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+        img = _frame(H, W, N, i, rng) if learnable else \
+            rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
         PILImage.fromarray(img).save(f"{root}/images/{i:05d}.png")
         disp = (1000.0 / rng.uniform(3, 8, (H, W))).astype(np.uint16)
         cv2.imwrite(f"{root}/disps/{i:05d}.png", disp)

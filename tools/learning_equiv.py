@@ -46,7 +46,7 @@ def main():
     p.add_argument("--frames", type=int, default=5)
     p.add_argument("--N_samples", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=512)
-    p.add_argument("--scene", type=str, default="/tmp/equiv_scene")
+    p.add_argument("--scene", type=str, default="/tmp/equiv_scene_v2")
     args = p.parse_args()
 
     if not os.path.isdir(args.scene):
@@ -54,8 +54,12 @@ def main():
             os.path.dirname(os.path.abspath(__file__))), "tests"))
         from helpers_scene import make_synthetic_scene
 
+        # learnable=True: structured frames. The default uniform-noise
+        # frames cap val PSNR at the predict-the-mean 10*log10(12) =
+        # 10.79 dB regardless of backend (both backends land there to
+        # +-0.001 dB — an equivalence check but not a learning one).
         make_synthetic_scene(args.scene, W=args.wh[0], H=args.wh[1],
-                             N=args.frames, seed=0)
+                             N=args.frames, seed=0, learnable=True)
 
     results = {}
     for backend in ("xla", "pallas"):
