@@ -184,7 +184,7 @@ def main():
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),
         "unit": f"rays/s (full NSFF train step, batch={best_cfg}, "
-                f"N_samples=128, bf16, fused Pallas fwd+bwd kernels)",
+                f"N_samples=128, bf16, planar fused Pallas fwd+bwd kernels)",
         "vs_baseline": round(best / BASELINE_A100_RAYS_PER_SEC, 3),
     }))
 

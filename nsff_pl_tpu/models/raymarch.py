@@ -111,12 +111,20 @@ def render_train_planar(
     kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
                 flow_scale=cfg.flow_scale)
+    # block sizes from the v5e sweep at S=128 (docs/ROADMAP.md): at large
+    # batches whole-ray backward blocks of 16 rays beat 8 for both ops
+    # and the transient-only warp forward prefers 4096-row blocks; small
+    # batches (<= 1024 rays) measured faster with the smaller blocks
+    big = n > 1024
     main_op = make_planar_nerf_train(
         S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
-        output_flow=("fw", "bw"), **kker)
+        output_flow=("fw", "bw"),
+        bwd_block_rows=2048 if big else 1024, **kker)
     warp_ops = {w: make_planar_nerf_train(
         S, static_branch=False, flow_in=True, encode_t=True,
-        output_flow=(w,), **kker) for w in ("fw", "bw")}
+        output_flow=(w,), block_rows=4096 if big else 2048,
+        bwd_block_rows=2048 if big else 1024,
+        **kker) for w in ("fw", "bw")}
     if mesh is not None:
         main_op = _shard_planar(main_op, mesh)
         warp_ops = {w: _shard_planar(op, mesh)

@@ -623,9 +623,12 @@ def make_planar_nerf_train(
             out_specs += [plane] * 3
 
         try:
+            # whole-ray blocks push the working set past the default 16M
+            # scoped-vmem cap; scale the cap with the block size
             compiler_params = pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=24 * 1024 * 1024)
+                vmem_limit_bytes=(24 + 26 * max(0, BWD_BLK // 1024 - 1))
+                * 1024 * 1024)
         except TypeError:
             compiler_params = None
         return pl.pallas_call(
