@@ -59,3 +59,23 @@ def test_weighted_sum_shapes():
     np.testing.assert_allclose(np.asarray(cp.weighted_sum(w, v3)), 2.0)
     np.testing.assert_allclose(np.asarray(cp.weighted_sum(w, v1)),
                                v1.mean(-1), atol=1e-6)
+
+
+def test_transmittance_from_taus_matches_cumprod():
+    """exp(-excl_cumsum(tau)) == cumprod(1 - alpha) with alpha =
+    1-exp(-tau), including saturated (alpha == 1) samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops import compositing as cp
+
+    taus = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (7, 33))) * 2
+    taus = taus.at[2, 5].set(120.0)  # alpha == 1.0 exactly in f32
+    ref = cp.transmittance(1.0 - jnp.exp(-taus))
+    out = cp.transmittance_from_taus(taus)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-30)
+    # gradients stay finite where cumprod's do
+    g = jax.grad(lambda t: jnp.sum(cp.transmittance_from_taus(t) ** 2))(taus)
+    assert np.isfinite(np.asarray(g)).all()

@@ -156,6 +156,66 @@ def test_planar_step_integration_and_mesh():
                                    atol=1e-5)
 
 
+def test_planar_config_corners():
+    """Deterministic mode (perturb=0, noise_std=0), top-k hard mining and
+    no-viewdir all run and agree with the reference-shaped path."""
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    cfg = dataclasses.replace(cfg, perturb=0.0, noise_std=0.0,
+                              use_viewdir=False)
+    lcfg = dataclasses.replace(lcfg, topk=0.5, thickness=3)
+    key = jax.random.PRNGKey(9)
+    flow = ("fw", "bw", "disocc")
+
+    def loss_ref(p):
+        models, emb = _split(p)
+        res = render_rays(models, emb, batch["rays"], batch["ts"], key,
+                          cfg, test_time=False, output_transient=True,
+                          output_transient_flow=flow)
+        return total_loss(compute_losses(
+            res, batch, lcfg, epoch=11, output_transient_flow=flow,
+            Ks=Ks, Ps=Ps))
+
+    def loss_planar(p):
+        models, emb = _split(p)
+        res = render_train_planar(models["fine"], emb, batch["rays"],
+                                  batch["ts"], key, cfg)
+        return total_loss(compute_losses_planar(
+            res, batch, lcfg, epoch=11, Ks=Ks, Ps=Ps))
+
+    v1 = float(loss_ref(params))
+    v2 = float(loss_planar(params))
+    assert abs(v1 - v2) < 2e-2 * max(abs(v1), 1.0), (v1, v2)
+    g = jax.grad(loss_planar)(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_planar_opaque_samples_finite_grads():
+    """Fully opaque mid-ray samples (alpha -> 1, the 1-alpha == 0
+    underflow case that makes log-space transmittance NaN) must keep the
+    matmul-cumsum transmittance's gradients finite."""
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    # huge sigma -> tau = delta * softplus(raw) saturates alpha to 1.0
+    params = dict(params)
+    params["nerf_fine"] = dict(params["nerf_fine"])
+    params["nerf_fine"]["static_sigma"] = {
+        "w": params["nerf_fine"]["static_sigma"]["w"] * 0 + 5.0,
+        "b": params["nerf_fine"]["static_sigma"]["b"] * 0 + 500.0}
+    key = jax.random.PRNGKey(2)
+
+    def loss_planar(p):
+        models, emb = _split(p)
+        res = render_train_planar(models["fine"], emb, batch["rays"],
+                                  batch["ts"], key, cfg)
+        return total_loss(compute_losses_planar(
+            res, batch, lcfg, epoch=0, Ks=Ks, Ps=Ps))
+
+    v, g = jax.value_and_grad(loss_planar)(params)
+    assert np.isfinite(float(v))
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_planar_with_appearance():
     """encode_a exercises the a-embedding conditioning + its gradient."""
     params, batch, Ks, Ps, cfg, lcfg = _setup(encode_a=True)
