@@ -83,6 +83,9 @@ class NSFFConfig:
     # ('stub' replaces the MLP with a trivial map — profiling aid that
     # times only the non-MLP glue; never use for real training)
     train_backend: str = "auto"
+    # planar fused train path (dense (N,S) kernel boundaries,
+    # models/raymarch.py): 'auto' | 'on' | 'off'
+    fused_train: str = "auto"
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -211,6 +214,11 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         choices=["auto", "xla", "pallas", "stub"],
                         help="training MLP backend; 'stub' is a "
                              "glue-profiling aid (not a real model)")
+    parser.add_argument("--fused_train", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="planar fused train path (dense-boundary "
+                             "kernels; auto = when the Pallas backend "
+                             "is active)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)
