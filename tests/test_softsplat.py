@@ -220,3 +220,62 @@ def test_interpolate_zero_flow_matches_composite():
 
     np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=1e-3)
     np.testing.assert_allclose(np.asarray(depth), ref_depth, atol=1e-3)
+
+
+def test_rolls_splat_matches_scatter():
+    """The dense shift decomposition must equal the scatter exactly
+    (within fp reassociation) for bounded flows, incl. border drops."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops.softsplat import (softsplat_batched,
+                                           softsplat_sum,
+                                           softsplat_sum_rolls)
+
+    key = jax.random.PRNGKey(0)
+    S, H, W, C = 3, 12, 17, 4
+    imgs = jax.random.uniform(key, (S, H, W, C))
+    # flows up to ~2.7 px, incl. pixels pushed off the border
+    flows = 2.7 * jax.random.normal(jax.random.PRNGKey(1), (S, H, W, 2))
+    flows = jnp.clip(flows, -3.9, 3.9)
+
+    ref = jax.vmap(softsplat_sum)(imgs, flows)
+    out = softsplat_sum_rolls(imgs, flows, max_disp=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+    # batched auto path (eager, average mode) picks the rolls bucket
+    ref_avg = jax.vmap(lambda im, fl: softsplat_batched(
+        im[None], fl[None], None, "average", max_disp=None)[0])(imgs, flows)
+    out_avg = softsplat_batched(imgs, flows, None, "average")
+    np.testing.assert_allclose(np.asarray(out_avg), np.asarray(ref_avg),
+                               atol=2e-5)
+
+
+def test_rolls_splat_gradients_match():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops.softsplat import softsplat_sum, softsplat_sum_rolls
+
+    key = jax.random.PRNGKey(2)
+    H, W, C = 9, 11, 2
+    img = jax.random.uniform(key, (H, W, C))
+    flow = jnp.clip(
+        1.3 * jax.random.normal(jax.random.PRNGKey(3), (H, W, 2)),
+        -1.9, 1.9)
+
+    def loss_scatter(im, fl):
+        return jnp.sum(jnp.sin(softsplat_sum(im, fl) * 2.0))
+
+    def loss_rolls(im, fl):
+        return jnp.sum(jnp.sin(softsplat_sum_rolls(im, fl, 2) * 2.0))
+
+    g1 = jax.grad(loss_scatter, argnums=(0, 1))(img, flow)
+    g2 = jax.grad(loss_rolls, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=3e-5)
