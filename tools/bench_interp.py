@@ -1,53 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark `interpolate` (MPI space-time frame synthesis) at full
+eval scale on TPU: 512x288 image, 128 sample planes, fw+bw average-mode
+splats — the measurement behind the interpolation numbers in
+docs/ROADMAP.md.
+
+The synthetic render dicts use geometrically consistent sample
+positions (xyz = o + d*z on real NDC pixel rays) and z_far-masked
+flows, so the per-plane projected optical flows have the same few-pixel
+magnitude as real checkpoints and `softsplat_batched` selects the
+bounded-displacement shift path (prints the measured max |flow|).
+"""
 import time
-import jax, jax.numpy as jnp
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+
 from nsff_pl_tpu.models.rendering import interpolate
+from nsff_pl_tpu.ops import rays as ray_ops
 
 w, h, S = 512, 288, 128
 hw = h * w
 rng = np.random.RandomState(0)
+
+
 def mk(shape, lo=0.0, hi=1.0):
     return jnp.asarray(rng.uniform(lo, hi, shape).astype(np.float32))
+
+
 zs = jnp.broadcast_to(jnp.linspace(0, 1, S), (hw, S))
-far = np.asarray(zs)[..., None] > 0.95
-from nsff_pl_tpu.ops import rays as ray_ops
-K_ = np.array([[500.0*w/960, 0, w/2], [0, 500.0*w/960, h/2], [0, 0, 1]], np.float32)
+far = jnp.asarray(np.asarray(zs)[..., None] > 0.95)
+K_ = np.array([[500.0 * w / 960, 0, w / 2], [0, 500.0 * w / 960, h / 2],
+               [0, 0, 1]], np.float32)
 dirs = ray_ops.get_ray_directions(h, w, K_)
 o_w, d_w = ray_ops.get_rays(dirs, jnp.eye(3, 4))
 o_n, d_n = ray_ops.get_ndc_rays(K_, 1.0, 1.0, o_w, d_w)
-xyzs_cons = o_n[:, None, :] + d_n[:, None, :] * zs[..., None]
 res_t = {
-    "xyzs_fine": xyzs_cons,
+    "xyzs_fine": o_n[:, None, :] + d_n[:, None, :] * zs[..., None],
     "zs_fine": zs,
-    "transient_flows_fw": jnp.where(jnp.asarray(far), 0.0,
-                                    mk((hw, S, 3), -0.01, 0.01)),
+    "transient_flows_fw": jnp.where(far, 0.0, mk((hw, S, 3), -0.01, 0.01)),
     "transient_rgbs_fine": mk((hw, S, 3)),
     "transient_alphas_fine": mk((hw, S), 0, 0.1),
     "static_rgbs_fine": mk((hw, S, 3)),
     "static_alphas_fine": mk((hw, S), 0, 0.1),
 }
 res_tp1 = dict(res_t)
-res_tp1["transient_flows_bw"] = jnp.where(jnp.asarray(far), 0.0,
+res_tp1["transient_flows_bw"] = jnp.where(far, 0.0,
                                           mk((hw, S, 3), -0.01, 0.01))
-K = jnp.asarray(np.array([[500.0*w/960, 0, w/2], [0, 500.0*w/960, h/2], [0, 0, 1]], np.float32))
+K = jnp.asarray(K_)
 c2w = jnp.eye(3, 4)
 
-import nsff_pl_tpu.ops.softsplat as sp
-orig = sp.softsplat_batched
-def spy(images, flows, metric=None, mode="average", max_disp=None):
-    print("  splat: max|of| =", float(jnp.max(jnp.abs(flows))), flush=True)
-    return orig(images, flows, metric, mode, max_disp)
-sp.softsplat_batched = spy
-import nsff_pl_tpu.models.rendering as R
-R.softsplat_batched = spy if hasattr(R, "softsplat_batched") else None
 t0 = time.perf_counter()
 rgb, depth = interpolate(res_t, res_tp1, 0.5, K, c2w, (w, h))
 s = float(jnp.sum(rgb))
-t1 = time.perf_counter()
-print(f"first call (incl compile): {t1-t0:.2f} s (chk {s:.3e})")
+print(f"first call (incl compile): {time.perf_counter() - t0:.2f} s "
+      f"(chk {s:.3e})")
 t0 = time.perf_counter()
 for _ in range(3):
     rgb, depth = interpolate(res_t, res_tp1, 0.5, K, c2w, (w, h))
 s = float(jnp.sum(rgb)) + float(jnp.sum(depth))
-print(f"steady state: {(time.perf_counter()-t0)/3:.2f} s/frame (chk {s:.3e})")
+print(f"steady state: {(time.perf_counter() - t0) / 3:.2f} s/frame "
+      f"(chk {s:.3e})")
 assert np.isfinite(np.asarray(rgb)).all()
