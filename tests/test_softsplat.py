@@ -279,3 +279,29 @@ def test_rolls_splat_gradients_match():
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
                                atol=3e-5)
+
+
+def test_rolls_bucket_fallback():
+    """Flows above the largest roll bucket must fall back to the exact
+    scatter (no silent dropping), and traced flows never take the
+    eager-measurement path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops.softsplat import softsplat_batched, softsplat_sum
+
+    key = jax.random.PRNGKey(0)
+    S, H, W, C = 2, 10, 40, 3
+    imgs = jax.random.uniform(key, (S, H, W, C))
+    # one huge displacement -> d > 16 -> scatter path
+    flows = jnp.zeros((S, H, W, 2)).at[0, 3, 4, 0].set(25.0)
+    ref = jax.vmap(softsplat_sum)(imgs, flows)
+    out = softsplat_batched(imgs, flows, None, "summation")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # under jit the flows are traced -> scatter path, same result
+    out_j = jax.jit(lambda im, fl: softsplat_batched(
+        im, fl, None, "summation"))(imgs, flows)
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(ref),
+                               atol=1e-6)
