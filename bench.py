@@ -27,7 +27,8 @@ import time
 BASELINE_A100_RAYS_PER_SEC = 15000.0
 
 
-def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16"):
+def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
+          fused_train: str = "auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,7 +52,7 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16"):
     rcfg = RenderConfig(N_samples=n_samples, N_importance=0, perturb=1.0,
                         noise_std=1.0, use_viewdir=True, encode_a=False,
                         encode_t=True, max_t=n_frames - 1, img_wh=(w, h),
-                        compute_dtype=dtype)
+                        compute_dtype=dtype, fused_train=fused_train)
     # tiny lr: the synthetic random table makes the flow losses huge, and
     # the reference lr diverges to NaN within ~20 steps; NaN params change
     # kernel timing, so keep the numerics sane for the benchmark

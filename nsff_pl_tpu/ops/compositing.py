@@ -66,11 +66,17 @@ def transmittance_from_taus(taus):
     ~8 ms/step at batch 8192 across the three compositing passes; the
     (S, S) matmul is MXU-trivial with a matmul adjoint). Also better
     conditioned: no 1-alpha == 0 underflow at opaque samples.
+
+    The dot runs at Precision.HIGHEST: the equivalence to cumprod needs
+    full f32 accumulation — TPU's default matmul precision rounds the
+    operands to bf16, which would reorder transmittance by ~1e-3. The
+    (S, S) matmul is cheap either way (ADVICE r2).
     """
     S = taus.shape[-1]
     excl = (jnp.arange(S)[:, None] < jnp.arange(S)[None, :]).astype(
         taus.dtype)  # excl[j, i] = 1 for j < i
-    return jnp.exp(-(taus @ excl))
+    return jnp.exp(-jnp.dot(taus, excl,
+                            precision=jax.lax.Precision.HIGHEST))
 
 
 def composite_two_fields(static_alphas, transient_alphas):

@@ -95,9 +95,12 @@ def softsplat_sum_rolls(images: jnp.ndarray, flows: jnp.ndarray,
     — (2D+2)^2 dense elementwise+shift terms that batch over the plane
     axis (measured 3x faster end-to-end for MPI interpolation at D=4;
     see docs/ROADMAP.md for the alternatives measured slower: a channel-
-    split variant and two pallas roll kernels). The caller must pick
-    D >= ceil(max |flow|): larger displacements match no shift term and
-    would silently drop (guarded in `softsplat_batched`).
+    split variant and two pallas roll kernels). CALLER CONTRACT: pick
+    D >= ceil(max |flow|) — larger displacements match no shift term and
+    silently drop splat mass. `softsplat_batched` validates this when
+    the flows are concrete and measures/buckets D itself when `max_disp`
+    is not given; under jit with an explicit `max_disp` the contract is
+    the caller's to uphold.
 
     images: (..., H, W, C); flows: (..., H, W, 2). Differentiable in both
     (the same stop-gradient corner/weight structure as the scatter path).
@@ -177,6 +180,25 @@ def softsplat(image: jnp.ndarray, flow: jnp.ndarray,
 _ROLL_BUCKETS = (1, 2, 4, 8, 16)
 
 
+def _rolls_with_mode(images, flows, mode: str, max_disp: int):
+    """Shift-decomposition splat with 'summation'/'average' semantics."""
+    if mode == "summation":
+        return softsplat_sum_rolls(images, flows, max_disp)
+    stacked = jnp.concatenate(
+        [images, jnp.ones_like(images[..., :1])], -1)
+    out = softsplat_sum_rolls(stacked, flows, max_disp)
+    norm = out[..., -1:]
+    norm = jnp.where(norm == 0.0, 1.0, norm)
+    return out[..., :-1] / norm
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
                       metric: Optional[jnp.ndarray] = None,
                       mode: str = "average",
@@ -184,31 +206,68 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
     """Splat over a leading plane axis (the MPI sample planes in
     `interpolate`): (S, H, W, C) x (S, H, W, 2) -> (S, H, W, C).
 
-    When every |flow| component is bounded by a small integer D, the
-    whole stack is splatted with the dense shift decomposition
-    (`softsplat_sum_rolls`) instead of S serialized scatters — measured
+    When every |flow| component of a plane is bounded by a small integer
+    D, that plane is splatted with the dense shift decomposition
+    (`softsplat_sum_rolls`) instead of a serialized scatter — measured
     ~2 orders of magnitude faster on TPU for MPI interpolation flows
-    (which are sub-pixel to a few pixels). D is taken from `max_disp`,
-    or — outside jit, as in the eval CLI's eager per-frame loop —
-    measured from the data and bucketed to limit recompiles; unbounded
-    or traced flows keep the exact scatter path."""
-    if max_disp is None and metric is None \
-            and mode in ("average", "summation") \
-            and not isinstance(flows, jax.core.Tracer):
-        d = float(jnp.max(jnp.abs(flows))) if flows.size else 0.0
-        for b in _ROLL_BUCKETS:
-            if d <= b:
-                max_disp = b
-                break
-    if max_disp is not None and metric is None \
-            and mode in ("average", "summation"):
-        if mode == "summation":
-            return softsplat_sum_rolls(images, flows, max_disp)
-        stacked = jnp.concatenate(
-            [images, jnp.ones_like(images[..., :1])], -1)
-        out = softsplat_sum_rolls(stacked, flows, max_disp)
-        norm = out[..., -1:]
-        norm = jnp.where(norm == 0.0, 1.0, norm)
-        return out[..., :-1] / norm
+    (which are sub-pixel to a few pixels). D is taken from `max_disp`
+    (validated when the flows are concrete), or — outside jit, as in the
+    eval CLI's eager per-frame loop — measured PER PLANE in one batched
+    probe fetch and bucketed to limit recompiles: the shift term count
+    is quadratic in D, so one fast-moving plane must not drag the whole
+    stack to a large D. Plane groups are padded to power-of-two counts
+    so repeated calls reuse shapes. Planes beyond the largest bucket
+    (and traced flows without `max_disp`) keep the exact scatter path.
+    """
+    rolls_ok = metric is None and mode in ("average", "summation")
+    concrete = not (isinstance(flows, jax.core.Tracer)
+                    or isinstance(images, jax.core.Tracer))
+
+    if max_disp is not None and rolls_ok:
+        if concrete and flows.size:
+            actual = float(jnp.max(jnp.abs(flows)))
+            if actual > max_disp:
+                raise ValueError(
+                    f"softsplat_batched: max_disp={max_disp} but "
+                    f"max |flow| = {actual:.3f} — the shift decomposition "
+                    f"would drop splat mass (see softsplat_sum_rolls)")
+        return _rolls_with_mode(images, flows, mode, max_disp)
+
+    if rolls_ok and concrete and flows.size:
+        import numpy as np
+
+        S = images.shape[0]
+        # one batched probe fetch for the whole stack
+        d_per = np.asarray(jnp.max(jnp.abs(flows.reshape(S, -1)), axis=1))
+        buckets = np.full(S, -1, np.int64)  # -1 = exact scatter fallback
+        for bi in range(len(_ROLL_BUCKETS) - 1, -1, -1):
+            buckets[d_per <= _ROLL_BUCKETS[bi]] = bi
+        if np.all(buckets == buckets[0]) and buckets[0] >= 0:
+            return _rolls_with_mode(images, flows, mode,
+                                    _ROLL_BUCKETS[buckets[0]])
+        if np.any(buckets >= 0):
+            out_planes = [None] * S
+            for bi in sorted(set(buckets.tolist())):
+                idx = np.nonzero(buckets == bi)[0]
+                im_g, fl_g = images[idx], flows[idx]
+                if bi < 0:
+                    o = jax.vmap(
+                        lambda im, fl: softsplat(im, fl, None, mode))(
+                            im_g, fl_g)
+                else:
+                    pad = _next_pow2(len(idx)) - len(idx)
+                    if pad:
+                        im_g = jnp.concatenate(
+                            [im_g, jnp.zeros((pad,) + im_g.shape[1:],
+                                             im_g.dtype)])
+                        fl_g = jnp.concatenate(
+                            [fl_g, jnp.zeros((pad,) + fl_g.shape[1:],
+                                             fl_g.dtype)])
+                    o = _rolls_with_mode(im_g, fl_g, mode,
+                                         _ROLL_BUCKETS[bi])[:len(idx)]
+                for j, i in enumerate(idx.tolist()):
+                    out_planes[i] = o[j]
+            return jnp.stack(out_planes, 0)
+
     fn = lambda im, fl: softsplat(im, fl, metric, mode)  # noqa: E731
     return jax.vmap(fn)(images, flows)

@@ -315,7 +315,10 @@ def compute_losses_planar(
         for f, b, x in zip(xyzs_fw_w, xyzs_bw_w, xyzs_w)) / (3 * n_near)
 
     def adiff(p):  # adiff(p)[:, s] = p[:, s+1] - p[:, s]
-        return p @ diff_m
+        # HIGHEST precision: adjacent-sample differences of world
+        # coordinates cancel catastrophically under the TPU default's
+        # bf16 operand rounding (ADVICE r2); the (S, S) dot is cheap
+        return jnp.dot(p, diff_m, precision=jax.lax.Precision.HIGHEST)
 
     dist = jnp.sqrt(sum(adiff(x) ** 2 for x in xyzs_w) + 1e-20)
     sp_w = jnp.exp(-2 * dist) * m_diff

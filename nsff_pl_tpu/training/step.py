@@ -75,11 +75,45 @@ def make_train_step(
     pallas_active = (tb == "pallas"
                      or (tb == "auto" and jax.default_backend() != "cpu"
                          and render_cfg.compute_dtype == "bfloat16"))
-    use_planar = (planar_applicable(render_cfg, output_transient,
-                                    output_transient_flow)
+    applicable = planar_applicable(render_cfg, output_transient,
+                                   output_transient_flow)
+    use_planar = (applicable
                   and (render_cfg.fused_train == "on"
                        or (render_cfg.fused_train == "auto"
                            and pallas_active)))
+    if not applicable and render_cfg.fused_train in ("on", "auto"):
+        # the planar fused path is ~20% faster than the packed kernels at
+        # the flagship recipe; make the fallback loud instead of silent
+        # (ADVICE r2 / VERDICT r2 #8)
+        reasons = []
+        if not (render_cfg.encode_t and output_transient):
+            reasons.append("no transient branch")
+        if render_cfg.N_importance != 0:
+            reasons.append("N_importance > 0 (coarse-to-fine)")
+        flow = tuple(output_transient_flow)
+        if not ("fw" in flow and "bw" in flow):
+            reasons.append("fw+bw flows not both requested")
+        lanes_bad = (jax.default_backend() != "cpu"
+                     and render_cfg.N_samples % 128 != 0)
+        if lanes_bad:
+            reasons.append(
+                f"N_samples={render_cfg.N_samples} is not a multiple of "
+                f"the 128 TPU lane width")
+        msg = (f"planar fused train path unavailable "
+               f"({'; '.join(reasons) or 'unknown'}); falling back to the "
+               f"packed-boundary kernels (~20% slower at the flagship "
+               f"recipe shapes)")
+        if render_cfg.fused_train == "on":
+            # a user forcing 'on' must not silently get the slow path
+            raise ValueError(f"fused_train='on' but {msg}")
+        if lanes_bad and not reasons[:-1]:
+            # under 'auto' only the lane constraint is a surprise: the
+            # config IS the flagship recipe except for N_samples, so the
+            # user following e.g. --N_samples 64 hits a silent 20% cliff
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+            print(f"[nsff] {msg}", flush=True)
 
     def step_fn(state: TrainState, table, weights, Ks, Ps, rng, t):
         k_sample, k_render = jax.random.split(rng)

@@ -232,3 +232,20 @@ def test_planar_with_appearance():
     g = jax.grad(loss_planar)(params)
     assert np.isfinite(np.asarray(g["embedding_a"])).all()
     assert np.abs(np.asarray(g["embedding_a"])).max() > 0
+
+
+def test_fused_train_on_raises_when_inapplicable():
+    """Forcing fused_train='on' in a config the planar path cannot cover
+    must raise instead of silently using the packed path (ADVICE r2)."""
+    import optax
+    import pytest
+
+    from nsff_pl_tpu.training.step import make_train_step
+
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    cfg = dataclasses.replace(cfg, fused_train="on", N_importance=16)
+    with pytest.raises(ValueError, match="fused_train='on'"):
+        make_train_step(
+            cfg, lcfg, optax.adam(1e-3), output_transient=True,
+            output_transient_flow=("fw", "bw", "disocc"),
+            steps_per_epoch=10, batch_size=32, donate=False)
