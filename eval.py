@@ -53,6 +53,12 @@ def get_opts(argv=None):
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--save_depth", default=False, action="store_true")
     parser.add_argument("--depth_format", type=str, default="png")
+    parser.add_argument(
+        "--lpips_weights", type=str, default=None,
+        help="path to a torch state dict of the lpips package's "
+             "LPIPS(net='alex') module; enables real LPIPS numbers in "
+             "offline environments (otherwise LPIPS prints n/a when the "
+             "lpips package can't fetch pretrained weights)")
     return parser.parse_args(argv)
 
 
@@ -162,7 +168,7 @@ def main(args):
         psnrs = np.zeros((n_frames, 2))
         ssims = np.zeros((n_frames, 2))
         lpipss = np.full((n_frames, 2), np.nan)
-        lpips_model = metrics_lib.get_lpips_model()
+        lpips_model = metrics_lib.get_lpips_model(args.lpips_weights)
         if lpips_model is None:
             print("LPIPS unavailable (no offline AlexNet-LPIPS weights in "
                   "this environment); reporting n/a — PSNR/SSIM are "

@@ -95,15 +95,136 @@ def ssim(image_gt, image_pred, valid_mask=None, window_size: int = 11,
 # LPIPS — the reference uses an AlexNet LPIPS submodule
 # (`third_party/lpips`, `metrics.py:35-49`). Torch runs CPU-side here; the
 # wrapper is gated because pretrained weights may be unavailable offline.
+# `JaxLPIPS` is the escape hatch (VERDICT r2 #5): drop the `lpips`
+# package's full AlexNet state dict (torch.save(LPIPS(net='alex')
+# .state_dict())) anywhere on disk and pass it via eval.py
+# --lpips_weights — the table then prints real numbers with no code
+# change and no network access.
 # ---------------------------------------------------------------------------
+
+# torchvision AlexNet `features` layout used by lpips (conv index,
+# stride, padding, maxpool-before-this-conv); feature taps are after each
+# conv's ReLU, channels (64, 192, 384, 256, 256)
+_ALEX_CONVS = (
+    ("0", 4, 2, False),
+    ("3", 1, 2, True),
+    ("6", 1, 1, True),
+    ("8", 1, 1, False),
+    ("10", 1, 1, False),
+)
+_ALEX_SLICES = ("slice1", "slice2", "slice3", "slice4", "slice5")
+# lpips ScalingLayer constants (fixed buffers in the package)
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class JaxLPIPS:
+    """AlexNet-LPIPS (spatial variant) in pure JAX from a user-supplied
+    state dict — the architecture of the reference's `third_party/lpips`
+    AlexNet model (`metrics.py:35-49`): scale inputs, run the 5 AlexNet
+    conv taps, unit-normalize each tap along channels, squared
+    difference, 1x1 linear head per tap, bilinear-upsample the 5 maps to
+    the input size and sum."""
+
+    def __init__(self, weights: dict):
+        self.convs = [(jnp.asarray(w), jnp.asarray(b))
+                      for w, b in weights["convs"]]
+        self.lins = [jnp.asarray(w) for w in weights["lins"]]
+        self.shift = jnp.asarray(weights["shift"]).reshape(1, 3, 1, 1)
+        self.scale = jnp.asarray(weights["scale"]).reshape(1, 3, 1, 1)
+        self._fn = jax.jit(self._distance)
+
+    def _features(self, x):
+        taps = []
+        for (w, b), (_, stride, pad, pool) in zip(self.convs, _ALEX_CONVS):
+            if pool:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                    "VALID")
+            x = jax.lax.conv_general_dilated(
+                x, w, (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            x = jax.nn.relu(x + b.reshape(1, -1, 1, 1))
+            taps.append(x)
+        return taps
+
+    def _distance(self, a, b):
+        """a, b: (1, 3, H, W) in [0, 1] -> (H, W) spatial LPIPS map."""
+        H, W = a.shape[-2:]
+        # normalize=True maps [0,1] -> [-1,1], then the scaling layer
+        a = (2.0 * a - 1.0 - self.shift) / self.scale
+        b = (2.0 * b - 1.0 - self.shift) / self.scale
+        total = jnp.zeros((H, W), jnp.float32)
+        for fa, fb, lin in zip(self._features(a), self._features(b),
+                               self.lins):
+            na = fa * jax.lax.rsqrt(
+                jnp.sum(fa * fa, 1, keepdims=True) + 1e-10)
+            nb = fb * jax.lax.rsqrt(
+                jnp.sum(fb * fb, 1, keepdims=True) + 1e-10)
+            d = (na - nb) ** 2
+            m = jnp.sum(d * lin.reshape(1, -1, 1, 1), 1)  # (1, h, w)
+            total = total + jax.image.resize(m[0], (H, W), "bilinear")
+        return total
+
+    def __call__(self, image_gt, image_pred):
+        """(H, W, 3) in [0, 1] each -> (H, W) numpy LPIPS map."""
+        a = jnp.asarray(np.asarray(image_gt), jnp.float32) \
+            .transpose(2, 0, 1)[None]
+        b = jnp.asarray(np.asarray(image_pred), jnp.float32) \
+            .transpose(2, 0, 1)[None]
+        return np.asarray(self._fn(a, b))
+
+
+def load_lpips_weights(path: str) -> "JaxLPIPS":
+    """Load a torch state dict of the `lpips` package's
+    `LPIPS(net='alex')` module (keys `scaling_layer.{shift,scale}`,
+    `net.sliceK.I.{weight,bias}`, `linK.model.1.weight` — `lins.K...`
+    also accepted) into a `JaxLPIPS`."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
+          if hasattr(v, "__array__") or hasattr(v, "numpy")}
+
+    convs = []
+    for sl, (idx, *_rest) in zip(_ALEX_SLICES, _ALEX_CONVS):
+        wk, bk = f"net.{sl}.{idx}.weight", f"net.{sl}.{idx}.bias"
+        if wk not in sd:
+            raise ValueError(
+                f"--lpips_weights: missing {wk!r}; expected the full "
+                f"AlexNet-LPIPS state dict "
+                f"(torch.save(lpips.LPIPS(net='alex').state_dict(), ...)) "
+                f"— the 6 kB linear-only alex.pth is not enough offline")
+        convs.append((sd[wk], sd[bk]))
+    lins = []
+    for i in range(5):
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight",
+                  f"lin{i}.weight"):
+            if k in sd:
+                lins.append(sd[k].reshape(-1))
+                break
+        else:
+            raise ValueError(f"--lpips_weights: missing lin{i} weight")
+    shift = sd.get("scaling_layer.shift", _LPIPS_SHIFT)
+    scale = sd.get("scaling_layer.scale", _LPIPS_SCALE)
+    return JaxLPIPS({"convs": convs, "lins": lins,
+                     "shift": np.asarray(shift).reshape(-1),
+                     "scale": np.asarray(scale).reshape(-1)})
+
 
 _lpips_model = None
 _lpips_failed = False
 
 
-def get_lpips_model():
-    """Try to build an AlexNet LPIPS model (returns None if unavailable)."""
+def get_lpips_model(weights_path: Optional[str] = None):
+    """Build an AlexNet LPIPS model: from a user-supplied state dict when
+    `weights_path` is given (pure-JAX `JaxLPIPS`), else the torch `lpips`
+    package if importable; returns None if unavailable."""
     global _lpips_model, _lpips_failed
+    if weights_path:
+        return load_lpips_weights(weights_path)
     if _lpips_model is not None or _lpips_failed:
         return _lpips_model
     try:
@@ -122,13 +243,18 @@ def lpips(lpips_model, image_gt, image_pred, valid_mask=None,
     None when no LPIPS model is available."""
     if lpips_model is None:
         return None
-    import torch
+    if isinstance(lpips_model, JaxLPIPS):
+        value = lpips_model(image_gt, image_pred)
+    else:
+        import torch
 
-    with torch.no_grad():
-        a = torch.from_numpy(np.asarray(image_gt)).permute(2, 0, 1)[None].float()
-        b = torch.from_numpy(np.asarray(image_pred)).permute(2, 0, 1)[None].float()
-        value = lpips_model(a, b, normalize=True).squeeze()
-    value = value.numpy()
+        with torch.no_grad():
+            a = torch.from_numpy(np.asarray(image_gt)) \
+                .permute(2, 0, 1)[None].float()
+            b = torch.from_numpy(np.asarray(image_pred)) \
+                .permute(2, 0, 1)[None].float()
+            value = lpips_model(a, b, normalize=True).squeeze()
+        value = value.numpy()
     if valid_mask is not None:
         value = value[np.asarray(valid_mask)]
     if reduction == "mean":

@@ -85,13 +85,23 @@ def test_val_every_steps_cadence(scene, tmp_path, monkeypatch):
 
 
 def test_full_nsff_soak_psnr_floor(scene, tmp_path):
-    """Soak regression harness (round-1 verdict #6b): the FULL NSFF
-    config — transient branch, fw/bw flow, all 8 loss terms with their
-    schedules — must reach a PSNR floor on the learnable synthetic scene.
-    Calibrated runs land at 19-25 dB after 30 epochs (from 10.4 at
-    init; small-scene RNG variance is large); the 17 dB floor catches a
-    regression in any loss term or the warped-render path."""
+    """Soak regression harness (round-1 verdict #6b, tightened per
+    round-2 verdict #9): the FULL NSFF config — transient branch, fw/bw
+    flow, all 8 loss terms with their schedules — trains 30 epochs on the
+    learnable synthetic scene with the DEFAULT seed (42: training is
+    fully deterministic given the seed) and must land within a band of
+    the committed calibration value, so a subtle single-loss-term
+    regression costing ~2 dB cannot slip under a loose absolute floor.
+
+    Calibration: 19.20 dB on CPU/XLA at commit time (seed 43 lands
+    20.04 — the band is wider than cross-seed spread to absorb legit
+    XLA-version float drift). If this fails after an intentional
+    numerics change or an XLA upgrade, re-measure and update
+    CALIBRATED_PSNR, noting the cause in the commit."""
     from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    CALIBRATED_PSNR = 19.20
+    BAND = 1.25
 
     cfg = _cfg(scene, str(tmp_path), encode_t=True, use_viewdir=True,
                N_tau=8, num_epochs=30, lr_scheduler="cosine",
@@ -99,7 +109,10 @@ def test_full_nsff_soak_psnr_floor(scene, tmp_path):
     sys_ = NSFFSystem(cfg)
     sys_.fit(log_every=1000, progress=False)
     log = sys_.validate(30)
-    assert log["psnr"] > 17.0, f"soak PSNR regressed: {log['psnr']:.2f} dB"
+    assert abs(log["psnr"] - CALIBRATED_PSNR) < BAND, (
+        f"soak PSNR {log['psnr']:.2f} dB left the calibrated band "
+        f"{CALIBRATED_PSNR}±{BAND} dB — a loss-term/renderer regression, "
+        f"or recalibrate if numerics changed intentionally")
 
 
 def test_trainer_with_mesh(scene, tmp_path):
