@@ -28,7 +28,7 @@ BASELINE_A100_RAYS_PER_SEC = 15000.0
 
 
 def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
-          fused_train: str = "auto"):
+          fused_train: str = "auto", scan_steps: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -80,35 +80,62 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
     step = make_train_step(
         rcfg, LossConfig(max_t=n_frames - 1), tx,
         output_transient=True, output_transient_flow=("fw", "bw", "disocc"),
-        steps_per_epoch=steps_per_epoch, batch_size=batch_size)
+        steps_per_epoch=steps_per_epoch, batch_size=batch_size,
+        scan_steps=scan_steps)
     return step, state, (jnp.asarray(table),
                          jnp.ones((n_frames, w * h), jnp.float32),
                          jnp.asarray(Ks), jnp.asarray(Ps))
 
 
-def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16"):
+def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
+            scan_steps: int = 0):
     """Chained-step throughput. NOTE: on the tunneled (axon) backend
     `block_until_ready` does not reliably await remote execution — a value
     fetch does. We force completion by pulling the final loss, so the
-    measurement covers all `iters` chained steps + one scalar round trip."""
+    measurement covers all the chained steps + one scalar round trip.
+
+    Small batches dispatch `scan_steps` train steps per device call
+    (lax.scan; per-step semantics unchanged, tests/test_pipeline.py) —
+    the trainer exposes the same via --scan_steps. At batch 512 the
+    device step is ~8.4 ms but each host round trip costs ~2 ms, a ~20%
+    cliff this amortizes away (VERDICT r2 #2)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    step, state, (table, weights, Ks, Ps) = build(batch_size, dtype=dtype)
+    if scan_steps <= 0:  # default: ~8k rays per dispatch
+        scan_steps = max(1, 8192 // batch_size)
+    step, state, (table, weights, Ks, Ps) = build(
+        batch_size, dtype=dtype, scan_steps=scan_steps)
     key = jax.random.PRNGKey(0)
+    # enough dispatches that the single final value-fetch round trip
+    # (~30 ms over the tunnel) stays <3% of the measured window
+    n_dispatch = max(8, iters // scan_steps) if scan_steps > 1 else iters
 
-    # warmup / compile (forced)
-    state, m, _ = step(state, table, weights, Ks, Ps, key, jnp.asarray(0))
-    float(m["loss"])
+    if scan_steps == 1:
+        state, m, _ = step(state, table, weights, Ks, Ps, key,
+                           jnp.asarray(0))
+        float(m["loss"])  # warmup / compile (forced)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key, k = jax.random.split(key)
+            state, m, _ = step(state, table, weights, Ks, Ps, k,
+                               jnp.asarray(i % 30))
+        loss = float(m["loss"])  # forces the whole chain
+        dt = time.perf_counter() - t0
+        return batch_size * iters / dt, loss
 
+    tmp = jnp.zeros((1, 1, 3))
+    ts = jnp.asarray(np.arange(scan_steps) % 30)
+    state, tmp, m = step(state, tmp, table, weights, Ks, Ps, key, ts)
+    float(m["loss"][-1])  # warmup / compile (forced)
     t0 = time.perf_counter()
-    for i in range(iters):
+    for _ in range(n_dispatch):
         key, k = jax.random.split(key)
-        state, m, _ = step(state, table, weights, Ks, Ps, k,
-                           jnp.asarray(i % 30))
-    loss = float(m["loss"])  # forces the whole chain
+        state, tmp, m = step(state, tmp, table, weights, Ks, Ps, k, ts)
+    loss = float(m["loss"][-1])
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt, loss
+    return batch_size * scan_steps * n_dispatch / dt, loss
 
 
 def measure_render(n_rays: int = 8192, n_samples: int = 128,
@@ -171,23 +198,52 @@ def main():
         print(f"# render bench failed: {type(e).__name__}", flush=True)
     best = 0.0
     best_cfg = None
+    rows = {}
     for bs in (512, 2048, 8192):
         try:
             rays_s, loss = _retry(lambda bs=bs: measure(bs),
                                   tag=f"batch={bs}")
             print(f"# batch={bs}: {rays_s:,.0f} rays/s (loss {loss:.3f})",
                   flush=True)
+            rows[f"batch{bs}_rays_per_sec"] = round(rays_s, 1)
             if rays_s > best:
                 best, best_cfg = rays_s, bs
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch={bs} failed: {type(e).__name__}", flush=True)
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),
         "unit": f"rays/s (full NSFF train step, batch={best_cfg}, "
-                f"N_samples=128, bf16, planar fused Pallas fwd+bwd kernels)",
+                f"N_samples=128, bf16, planar fused Pallas fwd+bwd kernels, "
+                f"scan-dispatched)",
         "vs_baseline": round(best / BASELINE_A100_RAYS_PER_SEC, 3),
-    }))
+    }
+    out.update(rows)
+    # speed-of-light context (measured in docs/ARCHITECTURE.md; VERDICT r2
+    # asked for the floor + baseline derivation to ride with the number):
+    # the step's per-ray work is fixed by the reference's 3x-evaluation
+    # algorithm (models/rendering.py:169-229 there), so the kernels-only
+    # FLOP floor bounds any implementation of the same semantics.
+    if best:
+        out["floor"] = {
+            "chain_rate_tflops": 177.8,  # measured 256-wide bf16 matmul
+            # chain on this v5e (bf16 peak 197)
+            "step_flops_per_ray_gflop": 2.53,  # 3 tower evals fwd +
+            # (recompute + dW + dh) bwd at S=128; ~20.7 TFLOP at batch 8192
+            "kernel_floor_ms_batch8192": 121.0,  # kernels-only floor incl.
+            # in-kernel plane bridges (docs/ARCHITECTURE.md profile)
+            "measured_device_ms_batch8192": round(
+                8192 / rows.get("batch8192_rays_per_sec", best) * 1000, 1),
+            "pct_of_kernel_floor": round(100 * 121.0 / (
+                8192 / rows.get("batch8192_rays_per_sec", best) * 1000), 1),
+            "a100_baseline_rays_per_sec": BASELINE_A100_RAYS_PER_SEC,
+            "a100_baseline_derivation": (
+                "reference publishes no throughput numbers (BASELINE.md); "
+                "estimate: ~1.6 GFLOP/ray fwd+bwd at 15% TF32 MFU on A100 "
+                "for the reference's chunked torch pipeline => ~15k rays/s "
+                "(2080Ti anecdotes run 2-4k)"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

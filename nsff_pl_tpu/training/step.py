@@ -57,14 +57,26 @@ def make_train_step(
     hard_sampling: bool = False,
     mesh=None,
     donate: bool = True,
+    scan_steps: int = 1,
 ):
     """Build the jitted train step.
 
-    The returned function has signature
+    With `scan_steps == 1` the returned function has signature
         train_step(state, table, weights, Ks, Ps, rng, t) -> (state, metrics)
     where `table` is the HBM-resident ray table, `weights` the
     hard-sampling distribution, `t` the scheduler-chosen frame, and
     metrics contains the per-term losses + PSNR (`train.py:187-196`).
+
+    With `scan_steps == K > 1` it instead runs K successive train steps
+    in ONE dispatch via `lax.scan` (identical per-step semantics; see the
+    rationale at `multi_fn` below):
+        multi_step(state, tmp_rgb, table, weights, Ks, Ps, rng, ts)
+            -> (state, tmp_rgb, metrics)
+    where `ts` is the (K,) frame schedule, `rng` is split into the K
+    per-step keys inside the program, metrics arrive stacked (K,), and
+    `tmp_rgb` is the hard-sampling render buffer ((N_frames, H*W, 3);
+    pass a dummy (1, 1, 3) array when `hard_sampling` is off — it is
+    carried through untouched).
     """
     # planar fused path: dense-boundary kernels + component-plane loss
     # (models/raymarch.py); covers the flagship recipe when the Pallas
@@ -162,8 +174,43 @@ def make_train_step(
         aux = {"rgb_fine": rgb_fine, "rand_idx": rand_idx, "t": t}
         return new_state, metrics, aux
 
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if scan_steps == 1:
+        donate_argnums = (0,) if donate else ()
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    # ------------------------------------------------------------------
+    # K-step dispatch: lax.scan over `scan_steps` identical train steps.
+    # Semantics per step are EXACTLY step_fn's (one optimizer update per
+    # `batch_size` rays; asserted against sequential calls in
+    # tests/test_pipeline.py) — only the host<->device dispatch pattern
+    # changes. Rationale: at batch 512 the device step is ~8.4 ms but
+    # every host iteration pays ~2 ms of dispatch round trips (the
+    # per-step jax.random.split + step POST on a tunneled backend), a
+    # ~20% cliff at the reference's recipe batch (VERDICT r2 #2). The
+    # scan runs K steps per dispatch, amortizing that fixed cost.
+    # ------------------------------------------------------------------
+    def multi_fn(state: TrainState, tmp_rgb, table, weights, Ks, Ps, rng,
+                 ts):
+        keys = jax.random.split(rng, scan_steps)
+
+        def body(carry, xs):
+            state, tmp_rgb = carry
+            k, t = xs
+            state, metrics, aux = step_fn(state, table, weights, Ks, Ps,
+                                          k, t)
+            if hard_sampling:
+                # the reference's tmp_rgb buffer write (train.py:184-185),
+                # folded into the scan so the refresh stays per-step
+                tmp_rgb = tmp_rgb.at[aux["t"], aux["rand_idx"]].set(
+                    aux["rgb_fine"])
+            return (state, tmp_rgb), metrics
+
+        (state, tmp_rgb), metrics = jax.lax.scan(
+            body, (state, tmp_rgb), (keys, ts))
+        return state, tmp_rgb, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)
 
 
 def make_render_fn(

@@ -163,14 +163,22 @@ class NSFFSystem:
         self.Ps = jnp.asarray(self.train_scene.Ps)
 
         flow = tuple(cfg.output_transient_flow)
-        self.train_step = make_train_step(
-            self.render_cfg, self.loss_cfg, self.tx,
+        self._step_kwargs = dict(
             output_transient=cfg.output_transient,
             output_transient_flow=flow,
             steps_per_epoch=self.steps_per_epoch,
             batch_size=cfg.batch_size,
             hard_sampling=cfg.hard_sampling,
             mesh=mesh)
+        # K-step dispatch (scan_steps > 1) amortizes per-step host
+        # round trips; profiling wants per-step dispatch boundaries
+        self.scan_steps = max(cfg.scan_steps, 1) if not cfg.profile_dir \
+            else 1
+        self.train_step = make_train_step(
+            self.render_cfg, self.loss_cfg, self.tx,
+            scan_steps=self.scan_steps, **self._step_kwargs)
+        self._single_step = self.train_step if self.scan_steps == 1 \
+            else None  # built lazily for remainder groups
         self.val_render = make_render_fn(
             self.render_cfg, test_time=True,
             output_transient=cfg.output_transient,
@@ -221,61 +229,112 @@ class NSFFSystem:
             json.dump(dataclasses.asdict(self.cfg), f, indent=2, default=str)
         return path
 
+    def _remainder_step(self):
+        """Single-step variant for groups clipped by a boundary (only ever
+        compiled when scan_steps doesn't divide an epoch / val cadence)."""
+        if self._single_step is None:
+            self._single_step = make_train_step(
+                self.render_cfg, self.loss_cfg, self.tx,
+                scan_steps=1, **self._step_kwargs)
+        return self._single_step
+
     # ------------------------------------------------------------------
     def fit(self, log_every: int = 50, progress: bool = True):
-        """The training loop (Trainer.fit, train.py:303)."""
+        """The training loop (Trainer.fit, train.py:303).
+
+        Steps run in groups of `scan_steps` per device dispatch (one
+        lax.scan program; identical per-step semantics), clipped so a
+        group never crosses an epoch end / validation boundary."""
         cfg = self.cfg
         start_step = int(self.state.step)
-        pending = []  # (step, metrics) — flushed every log_every steps
+        # pending log rows: (first_step, n_steps, metrics) where metrics
+        # values are (n,)-stacked for grouped dispatches, scalars for n=1
+        pending = []
+        n_pending = 0
         t0 = time.time()
         profiling = False
-        for step in range(start_step, self.total_steps):
+        tmp_dummy = jnp.zeros((1, 1, 3))  # carried (donated) when
+        # hard_sampling is off; the scan threads it through untouched
+        step = start_step
+        while step < self.total_steps:
             if cfg.profile_dir:  # jax.profiler trace of steps 10-15
+                # (scan_steps is forced to 1 while profiling)
                 if step == start_step + 10 and not profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
-                elif step == start_step + 15 and profiling:
+                elif step >= start_step + 15 and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"profile trace written to {cfg.profile_dir}",
                           flush=True)
+            # group size: never cross total/epoch/validation boundaries
+            g = min(self.scan_steps, self.total_steps - step)
+            g = min(g, self.steps_per_epoch - step % self.steps_per_epoch)
+            if cfg.val_every_steps > 0:
+                g = min(g, cfg.val_every_steps - step % cfg.val_every_steps)
             self.rng, k = jax.random.split(self.rng)
-            t = self.scheduler.next()
-            self.state, metrics, aux = self.train_step(
-                self.state, self.batcher.table, self.batcher.weights,
-                self.Ks, self.Ps, k, jnp.asarray(t))
-            if cfg.hard_sampling:
-                self.tmp_rgb = self.tmp_rgb.at[aux["t"], aux["rand_idx"]].set(
-                    aux["rgb_fine"])
-            pending.append((step, metrics))
+            if g == self.scan_steps and g > 1:
+                ts = jnp.asarray([self.scheduler.next() for _ in range(g)])
+                tmp = self.tmp_rgb if cfg.hard_sampling else tmp_dummy
+                self.state, tmp, metrics = self.train_step(
+                    self.state, tmp, self.batcher.table,
+                    self.batcher.weights, self.Ks, self.Ps, k, ts)
+                if cfg.hard_sampling:
+                    self.tmp_rgb = tmp
+                else:
+                    tmp_dummy = tmp  # the input buffer was donated
+                pending.append((step, g, metrics))
+            else:
+                single = self.train_step if self.scan_steps == 1 \
+                    else self._remainder_step()
+                for i in range(g):
+                    if i > 0:
+                        self.rng, k = jax.random.split(self.rng)
+                    t = self.scheduler.next()
+                    self.state, metrics, aux = single(
+                        self.state, self.batcher.table,
+                        self.batcher.weights, self.Ks, self.Ps, k,
+                        jnp.asarray(t))
+                    if cfg.hard_sampling:
+                        self.tmp_rgb = self.tmp_rgb.at[
+                            aux["t"], aux["rand_idx"]].set(aux["rgb_fine"])
+                    pending.append((step + i, 1, metrics))
+            step += g
+            n_pending += g
 
-            if (step + 1) % log_every == 0 or step + 1 == self.total_steps:
+            if n_pending >= log_every or step == self.total_steps:
                 # one bulk device_get instead of per-scalar fetches (each
                 # fetch is a full round trip on a tunneled backend)
-                fetched = jax.device_get([m for _, m in pending])
-                for (s, _), m in zip(pending, fetched):
-                    for name, v in m.items():
-                        self.logger.scalar(f"train/{name}", float(v), s)
+                fetched = jax.device_get([m for *_, m in pending])
+                last = None
+                for (s0, n, _), m in zip(pending, fetched):
+                    for i in range(n):
+                        row = {name: (v[i] if n > 1 else v)
+                               for name, v in m.items()}
+                        for name, v in row.items():
+                            self.logger.scalar(f"train/{name}", float(v),
+                                               s0 + i)
+                        last = row
                 # lr taxonomy parity (train.py:193)
-                self.logger.scalar("lr", float(self.lr_schedule(step)), step)
-                last = pending[-1][1]
+                self.logger.scalar("lr", float(self.lr_schedule(step - 1)),
+                                   step - 1)
                 if progress:
                     dt = time.time() - t0
-                    rays_s = cfg.batch_size * len(pending) / max(dt, 1e-9)
-                    print(f"step {step+1}/{self.total_steps} "
+                    rays_s = cfg.batch_size * n_pending / max(dt, 1e-9)
+                    print(f"step {step}/{self.total_steps} "
                           f"loss={float(last['loss']):.4f} "
                           f"psnr={float(last['psnr']):.2f} "
                           f"({rays_s:,.0f} rays/s)", flush=True)
                 pending.clear()
+                n_pending = 0
                 t0 = time.time()
 
             # validation cadence: every val_every_steps steps when set,
             # otherwise once per epoch (the reference's Lightning default)
-            if cfg.val_every_steps > 0:
-                if (step + 1) % cfg.val_every_steps == 0:
-                    self.validate((step + 1) / self.steps_per_epoch)
-            if (step + 1) % self.steps_per_epoch == 0:
-                epoch = (step + 1) // self.steps_per_epoch
+            if cfg.val_every_steps > 0 and step % cfg.val_every_steps == 0:
+                self.validate(step / self.steps_per_epoch)
+            if step % self.steps_per_epoch == 0:
+                epoch = step // self.steps_per_epoch
                 if cfg.val_every_steps <= 0:
                     self.validate(epoch)
                 self.save()

@@ -171,3 +171,35 @@ def test_maximal_config_trains(scene, tmp_path):
     sys_.fit(log_every=1000, progress=False)
     log = sys_.validate(1)
     assert np.isfinite(log["psnr"])
+
+
+def test_trainer_scan_steps(scene, tmp_path):
+    """scan_steps > 1 (grouped lax.scan dispatch): the trainer must run
+    full + remainder groups, respect epoch/validation boundaries, log
+    every step's metrics, and maintain the hard-sampling buffer. With
+    32x24 x 3 frames at batch 64 there are 36 steps/epoch; scan_steps=8
+    leaves a 4-step remainder at each epoch end, exercising the clipped
+    single-step path too."""
+    import json
+
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, use_viewdir=True,
+               num_epochs=2, exp_name="e2e_scan", scan_steps=8,
+               hard_sampling=True)
+    sys_ = NSFFSystem(cfg)
+    assert sys_.steps_per_epoch % cfg.scan_steps != 0  # remainder exists
+    state = sys_.fit(log_every=10, progress=False)
+    assert int(state.step) == 2 * sys_.steps_per_epoch
+    # every step's train metrics were logged exactly once
+    steps = set()
+    with open(os.path.join(str(tmp_path), "logs", "e2e_scan",
+                           "metrics.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if "train/loss" in row:
+                assert row["step"] not in steps
+                steps.add(row["step"])
+    assert steps == set(range(2 * sys_.steps_per_epoch))
+    # hard-sampling buffer received writes
+    assert float(np.abs(np.asarray(sys_.tmp_rgb)).sum()) > 0

@@ -72,3 +72,70 @@ def test_hard_sampling_concentrates():
     batch = b.sample(jax.random.PRNGKey(0), 0)
     idx = np.asarray(batch["rand_idx"])
     assert np.mean(idx < 4) > 0.95
+
+
+def test_scan_steps_matches_sequential():
+    """make_train_step(scan_steps=K) must reproduce K sequential
+    single-step calls exactly — the K-step dispatch only changes the
+    host<->device pattern, not the per-step semantics (incl. the
+    hard-sampling tmp_rgb buffer writes, train.py:184-185)."""
+    import optax
+
+    from nsff_pl_tpu.models import nerf as nerf_m
+    from nsff_pl_tpu.models.rendering import RenderConfig
+    from nsff_pl_tpu.training.loss import LossConfig
+    from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+    n_frames, n_pixels, bs, K = 4, 256, 32, 3
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=True, encode_appearance=False,
+            encode_transient=True, in_channels_t=48, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], n_frames, 48),
+    }
+    cfg = RenderConfig(N_samples=8, N_importance=0, perturb=1.0,
+                       noise_std=1.0, use_viewdir=True, encode_a=False,
+                       encode_t=True, max_t=n_frames - 1, img_wh=(16, 16))
+    rng = np.random.RandomState(0)
+    table = rng.rand(n_frames, n_pixels, 16).astype(np.float32)
+    table[..., 9] = np.arange(n_frames, dtype=np.float32)[:, None]
+    table = jnp.asarray(table)
+    weights = jnp.ones(table.shape[:2], jnp.float32)
+    Ks = jnp.asarray(np.array([[[20, 0, 8], [0, 20, 8], [0, 0, 1]]],
+                              np.float32))
+    Ps = jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32),
+                             (1, n_frames, 1, 1)))
+    tx = optax.adam(1e-3)
+    kw = dict(output_transient=True,
+              output_transient_flow=("fw", "bw", "disocc"),
+              steps_per_epoch=2, batch_size=bs, hard_sampling=True,
+              donate=False)
+    state0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    tmp0 = jnp.zeros((n_frames, n_pixels, 3))
+    ts = jnp.asarray([1, 2, 0])
+    root = jax.random.PRNGKey(7)
+
+    # sequential: the same per-step keys the scan derives internally
+    step1 = make_train_step(cfg, LossConfig(max_t=n_frames - 1), tx, **kw)
+    state, tmp = state0, tmp0
+    seq_metrics = []
+    for k, t in zip(jax.random.split(root, K), ts):
+        state, m, aux = step1(state, table, weights, Ks, Ps, k, t)
+        tmp = tmp.at[aux["t"], aux["rand_idx"]].set(aux["rgb_fine"])
+        seq_metrics.append(m)
+
+    stepK = make_train_step(cfg, LossConfig(max_t=n_frames - 1), tx,
+                            scan_steps=K, **kw)
+    stateK, tmpK, mK = stepK(state0, tmp0, table, weights, Ks, Ps, root, ts)
+
+    for i, m in enumerate(seq_metrics):
+        np.testing.assert_allclose(float(mK["loss"][i]), float(m["loss"]),
+                                   rtol=1e-6)
+    for p1, p2 in zip(jax.tree.leaves(state.params),
+                      jax.tree.leaves(stateK.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tmpK), np.asarray(tmp),
+                               atol=1e-6)
+    assert int(stateK.step) == K
