@@ -103,8 +103,8 @@ def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
     import jax.numpy as jnp
     import numpy as np
 
-    if scan_steps <= 0:  # default: ~8k rays per dispatch
-        scan_steps = max(1, 8192 // batch_size)
+    if scan_steps <= 0:  # default: ~16k rays per dispatch
+        scan_steps = max(1, 16384 // batch_size)
     step, state, (table, weights, Ks, Ps) = build(
         batch_size, dtype=dtype, scan_steps=scan_steps)
     key = jax.random.PRNGKey(0)

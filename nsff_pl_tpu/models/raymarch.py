@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from nsff_pl_tpu.models import nerf as nerf_m
 from nsff_pl_tpu.models.rendering import RenderConfig, Z_FAR
 from nsff_pl_tpu.ops import compositing as cp
+from nsff_pl_tpu.ops.compositing_planar_kernel import make_planar_compositor
 from nsff_pl_tpu.ops.posenc import posenc
 from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
 from nsff_pl_tpu.ops.sampling import stratified_zs
@@ -141,54 +142,99 @@ def render_train_planar(
     srgb = (main["srgb_r"], main["srgb_g"], main["srgb_b"])
     trgb = (main["trgb_r"], main["trgb_g"], main["trgb_b"])
 
-    d_s, d_t = cp.deltas_from_zs(zs)
-    tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s))
-    tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t))
-    static_alphas = 1.0 - jnp.exp(-tau_s)
-    transient_alphas = 1.0 - jnp.exp(-tau_t)
-    # alpha = 1-(1-a_s)(1-a_t) = 1-exp(-(tau_s+tau_t)); T via the matmul
-    # cumsum identity (no cumprod scans)
-    alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
-    trans = cp.transmittance_from_taus(tau_s + tau_t)
-    sw = static_alphas * trans
-    tw = transient_alphas * trans
-    w = alphas * trans
-    res["static_weights"] = sw
-    res["transient_weights"] = tw
-    res["weights"] = w
     res["zs"] = zs
-
-    res["rgb_fine"] = jnp.stack(
-        [jnp.sum(sw * sc + tw * tc, -1) for sc, tc in zip(srgb, trgb)], -1)
-    res["depth_fine"] = jnp.sum(w * zs, -1)
-
     xyz = tuple(o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3))
     res["xyzs"] = xyz
     res["xyzs_fw"] = tuple(x + f for x, f in zip(xyz, ffw))
     res["xyzs_bw"] = tuple(x + f for x, f in zip(xyz, fbw))
 
-    def warp(flows, t_shift, which, k_w):
-        """`render_transient_warping` (`rendering.py:98-140`) on planes:
-        evaluate the transient field at xyz+flow/t+shift and composite
-        against the CURRENT static field."""
+    def warp_eval(flows, t_shift, which):
+        """`render_transient_warping` (`rendering.py:98-140`), MLP part:
+        evaluate the transient field at xyz+flow / t+shift."""
         ts_shift = jnp.clip(ts + t_shift, 0, cfg.max_t)
         t_emb_w = nerf_m.embedding_lookup(embeddings["t"], ts_shift)
         out = warp_ops[which](params_fine, o, d, zs, flows, None, None,
                               t_emb_w)
         flow_back = tuple(jnp.where(far, 0.0, out[f"f{which}_{c}"])
                           for c in ("x", "y", "z"))
-        tau_w = d_t * cp.softplus(out["tsig"] + noise(k_w))
-        ta_w = 1.0 - jnp.exp(-tau_w)
-        trans_w = cp.transmittance_from_taus(tau_s + tau_w)
-        sw_w = static_alphas * trans_w
-        tw_w = ta_w * trans_w
-        rgb_w = jnp.stack(
-            [jnp.sum(sw_w * sc + tw_w * out[f"trgb_{c}"], -1)
-             for sc, c in zip(srgb, "rgb")], -1)
-        return rgb_w, flow_back, tw_w
+        return out, flow_back
 
-    res["rgb_fw"], flowb_fw, tw_fw = warp(ffw, +1, "bw", k_fw)
-    res["rgb_bw"], flowb_bw, tw_bw = warp(fbw, -1, "fw", k_bw)
+    out_w1, flowb_fw = warp_eval(ffw, +1, "bw")
+    out_w2, flowb_bw = warp_eval(fbw, -1, "fw")
+
+    use_ck = (cfg.planar_compositing == "on"
+              or (cfg.planar_compositing == "auto"
+                  and jax.default_backend() != "cpu"))
+    if use_ck:
+        # one fused kernel composites all three evaluations (shared
+        # tau_s); ~25 XLA glue fusions collapse into one read/write of
+        # each plane (ops/compositing_planar_kernel.py)
+        comp_in = {"zs": zs, "ssig": main["ssig"], "tsig": main["tsig"],
+                   "tsig_w1": out_w1["tsig"], "tsig_w2": out_w2["tsig"],
+                   "ns": noise(k_noise_s), "nt": noise(k_noise_t),
+                   "nw1": noise(k_fw), "nw2": noise(k_bw)}
+        for c in "rgb":
+            comp_in[f"srgb_{c}"] = main[f"srgb_{c}"]
+            comp_in[f"trgb_{c}"] = main[f"trgb_{c}"]
+            comp_in[f"trgb_w1_{c}"] = out_w1[f"trgb_{c}"]
+            comp_in[f"trgb_w2_{c}"] = out_w2[f"trgb_{c}"]
+        compositor = make_planar_compositor(S)
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as PS
+
+            from nsff_pl_tpu.parallel.mesh import DATA_AXIS
+
+            compositor = shard_map(
+                compositor, mesh=mesh, in_specs=(PS(DATA_AXIS),),
+                out_specs=PS(DATA_AXIS), check_rep=False)
+        comp = compositor(comp_in)
+        sw = comp["static_weights"]
+        tw = comp["transient_weights"]
+        w = comp["weights"]
+        tw_fw, tw_bw = comp["tw_w1"], comp["tw_w2"]
+        maps = comp["maps"]
+        res["rgb_fine"] = maps[:, 0:3]
+        res["depth_fine"] = maps[:, 3]
+        res["rgb_fw"] = maps[:, 4:7]
+        res["rgb_bw"] = maps[:, 7:10]
+    else:
+        d_s, d_t = cp.deltas_from_zs(zs)
+        tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s))
+        tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t))
+        static_alphas = 1.0 - jnp.exp(-tau_s)
+        transient_alphas = 1.0 - jnp.exp(-tau_t)
+        # alpha = 1-(1-a_s)(1-a_t) = 1-exp(-(tau_s+tau_t)); T via the
+        # matmul cumsum identity (no cumprod scans)
+        alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
+        trans = cp.transmittance_from_taus(tau_s + tau_t)
+        sw = static_alphas * trans
+        tw = transient_alphas * trans
+        w = alphas * trans
+        res["rgb_fine"] = jnp.stack(
+            [jnp.sum(sw * sc + tw * tc, -1)
+             for sc, tc in zip(srgb, trgb)], -1)
+        res["depth_fine"] = jnp.sum(w * zs, -1)
+
+        def warp_composite(out, k_w):
+            """Composite a warped evaluation against the CURRENT static
+            field (`rendering.py:98-140`)."""
+            tau_w = d_t * cp.softplus(out["tsig"] + noise(k_w))
+            ta_w = 1.0 - jnp.exp(-tau_w)
+            trans_w = cp.transmittance_from_taus(tau_s + tau_w)
+            sw_w = static_alphas * trans_w
+            tw_w = ta_w * trans_w
+            rgb_w = jnp.stack(
+                [jnp.sum(sw_w * sc + tw_w * out[f"trgb_{c}"], -1)
+                 for sc, c in zip(srgb, "rgb")], -1)
+            return rgb_w, tw_w
+
+        res["rgb_fw"], tw_fw = warp_composite(out_w1, k_fw)
+        res["rgb_bw"], tw_bw = warp_composite(out_w2, k_bw)
+
+    res["static_weights"] = sw
+    res["transient_weights"] = tw
+    res["weights"] = w
     res["xyzs_fw_bw"] = tuple(x + f for x, f in zip(res["xyzs_fw"],
                                                     flowb_fw))
     res["xyzs_bw_fw"] = tuple(x + f for x, f in zip(res["xyzs_bw"],

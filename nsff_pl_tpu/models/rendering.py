@@ -72,6 +72,13 @@ class RenderConfig:
     # OFF by default — it is validated groundwork for the full fusion
     # (docs/RAYMARCH_KERNEL.md), not a win on its own.
     fused_compositing: bool = False
+    # planar-form fused compositing (ops/compositing_planar_kernel.py):
+    # ONE kernel pair composites the main + both warped evaluations of
+    # the planar train path (shared tau_s, additive-exp transmittance
+    # adjoint), replacing ~25 HBM-bound XLA fusions of step glue.
+    # 'auto' = on when running on TPU; 'on' forces it (interpret mode on
+    # CPU — used by the equivalence tests); 'off' = XLA compositing.
+    planar_compositing: str = "auto"
     # planar fused train path (models/raymarch.py + ops/raymarch_kernel):
     # dense (N, S) boundaries between kernels/loss, xyz assembled
     # in-kernel. 'auto' = use it whenever the Pallas train backend is
