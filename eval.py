@@ -37,6 +37,10 @@ def get_opts(argv=None):
     parser.add_argument("--N_samples", type=int, default=128)
     parser.add_argument("--N_importance", type=int, default=0)
     parser.add_argument("--chunk", type=int, default=32 * 1024)
+    parser.add_argument("--num_gpus", type=int, default=1,
+                        help="chips to render data-parallel over (a 1-D "
+                             "jax.sharding mesh; beyond reference parity — "
+                             "the reference's eval is single-GPU)")
 
     parser.add_argument("--encode_a", default=False, action="store_true")
     parser.add_argument("--N_a", type=int, default=48)
@@ -148,10 +152,21 @@ def main(args):
         flow = ()
         keys = ("rgb_fine", "depth_fine")
 
+    mesh = None
+    if args.num_gpus > 1:
+        from nsff_pl_tpu.parallel import make_mesh, replicated_sharding
+
+        n = min(args.num_gpus, len(jax.devices()))
+        mesh = make_mesh(n)
+        args.chunk = max(n, args.chunk - args.chunk % n)
+        # params replicate over the mesh (single-device-committed arrays
+        # conflict with the in-jit ray sharding constraint)
+        params = jax.device_put(params, replicated_sharding(mesh))
+        print(f"mesh: {n} chips, rendering data-parallel over rays")
     render = make_render_fn(
         rcfg, test_time=True, output_transient=output_transient,
         output_transient_flow=flow,
-        with_visibility=output_transient, keys=keys)
+        with_visibility=output_transient, keys=keys, mesh=mesh)
     rng = jax.random.PRNGKey(42)
     vis_K = jnp.asarray(dataset.K)
 

@@ -314,10 +314,23 @@ def render_rays(
                 n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
                 flow_scale=cfg.flow_scale)
-            packed = fused(model_params, xyz,
-                           dir_emb=dir_embedded if cfg.use_viewdir else None,
-                           a_emb=a_embedded if has_a else None,
-                           t_emb=t_embedded if output_transient else None)
+            if mesh is not None:
+                # data-parallel full-image rendering (eval/validation):
+                # the eval kernel needs the same shard_map treatment as
+                # the train kernels (pallas doesn't partition under GSPMD)
+                fused_pos = lambda p, x, de, ae, te: fused(  # noqa: E731
+                    p, x, dir_emb=de, a_emb=ae, t_emb=te)
+                packed = _shard_over_rays(fused_pos, mesh)(
+                    model_params, xyz,
+                    dir_embedded if cfg.use_viewdir else None,
+                    a_embedded if has_a else None,
+                    t_embedded if output_transient else None)
+            else:
+                packed = fused(
+                    model_params, xyz,
+                    dir_emb=dir_embedded if cfg.use_viewdir else None,
+                    a_emb=a_embedded if has_a else None,
+                    t_emb=t_embedded if output_transient else None)
             un = mk.unpack_fused(packed, encode_t=output_transient,
                                  output_flow=this_flow)
             static_rgbs = un["static_rgbs"]

@@ -221,6 +221,7 @@ def make_render_fn(
     output_transient_flow: Tuple[str, ...] = (),
     with_visibility: bool = False,
     keys: Optional[Tuple[str, ...]] = None,
+    mesh=None,
 ):
     """Jitted full-ray-batch renderer for validation / eval.
 
@@ -228,18 +229,27 @@ def make_render_fn(
     (`train.py:105-123`, `eval.py:90-110`); here the whole ray set stays on
     device and the caller invokes this jitted fn per fixed-size chunk.
     `keys` optionally restricts the returned dict (saves HBM on full-image
-    renders)."""
+    renders). Under a `mesh` the chunk's rays shard data-parallel across
+    the chips (the reference's DDP is train-only — eval there is
+    single-GPU, `eval.py:90-110`); the chunk size must divide by the mesh
+    size."""
 
     @functools.partial(jax.jit, static_argnames=())
     def render(params, rays, ts, rng, vis_poses=None, vis_K=None):
         models, embeddings = _split_params(params)
+        if mesh is not None:
+            sharded = mesh_lib.shard_batch(
+                mesh, {"rays": rays, "ts": ts})
+            rays = sharded["rays"]
+            ts = sharded["ts"] if ts is not None else None
         out = render_rays(
             models, embeddings, rays, ts, rng, render_cfg,
             test_time=test_time,
             output_transient=output_transient,
             output_transient_flow=output_transient_flow,
             vis_poses=vis_poses if with_visibility else None,
-            vis_K=vis_K if with_visibility else None)
+            vis_K=vis_K if with_visibility else None,
+            mesh=mesh)
         if keys is not None:
             out = {k: v for k, v in out.items() if k in keys}
         return out

@@ -184,7 +184,8 @@ class NSFFSystem:
             output_transient=cfg.output_transient,
             output_transient_flow=(),
             keys=("rgb_fine", "depth_fine", "transient_alpha_fine",
-                  "_static_rgb_fine", "_static_depth_fine"))
+                  "_static_rgb_fine", "_static_depth_fine"),
+            mesh=mesh)
 
         self.logger = TensorBoardLogger(
             os.path.join(cfg.log_dir, cfg.exp_name))
@@ -354,6 +355,9 @@ class NSFFSystem:
         ts = jnp.asarray(item["ts"])
         self.rng, k = jax.random.split(self.rng)
         chunk = min(max(cfg.chunk // 4, 1024), rays.shape[0])
+        if self.mesh is not None:  # chunks shard over the mesh's chips
+            n = self.mesh.devices.size
+            chunk = max(n, chunk - chunk % n)
         out = render_full_image(self.val_render, self.state.params, rays, ts,
                                 k, chunk=chunk)
         step = int(self.state.step)

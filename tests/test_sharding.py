@@ -110,3 +110,51 @@ def test_train_step_deterministic():
                     np.asarray(s2.params["nerf_fine"]["static_xyz_0"]["w"])))
     assert out[0][0] == out[1][0]
     np.testing.assert_array_equal(out[0][1], out[1][1])
+
+
+@pytest.mark.parametrize("mlp_backend", ["xla", "pallas"])
+def test_sharded_full_image_render_matches(mlp_backend):
+    """Mesh-sharded validation/eval rendering (VERDICT r2 #7): a chunked
+    full-image render over an 8-virtual-device mesh must match the
+    single-device render for both eval backends (the pallas eval kernel
+    is shard_map'ed; XLA partitions via GSPMD)."""
+    from nsff_pl_tpu.training.step import make_render_fn, render_full_image
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 2)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=True, encode_transient=True,
+            in_channels_t=16, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], 4, 16),
+    }
+    rcfg = RenderConfig(N_samples=8, use_viewdir=True, encode_t=True,
+                        max_t=3, img_wh=(16, 12), N_tau=16,
+                        mlp_backend=mlp_backend)
+    rng = np.random.RandomState(0)
+    n = 16 * 12
+    rays = np.zeros((n, 6), np.float32)
+    rays[:, 0:2] = rng.rand(n, 2) * 2 - 1
+    rays[:, 2] = -1.0
+    rays[:, 3:5] = (rng.rand(n, 2) - 0.5) * 0.4
+    rays[:, 5] = 2.0
+    rays = jnp.asarray(rays)
+    ts = jnp.zeros((n,), jnp.int32)
+    vis_poses = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    vis_K = jnp.asarray(np.array([[20.0, 0, 8], [0, 20, 6], [0, 0, 1]],
+                                 np.float32))
+
+    def run(mesh):
+        render = make_render_fn(
+            rcfg, test_time=True, output_transient=True,
+            output_transient_flow=(), with_visibility=True,
+            keys=("rgb_fine", "depth_fine"), mesh=mesh)
+        return render_full_image(render, params, rays, ts,
+                                 jax.random.PRNGKey(1), chunk=64,
+                                 vis_poses=vis_poses, vis_K=vis_K)
+
+    r1 = run(None)
+    r2 = run(make_mesh(8))
+    for k in ("rgb_fine", "depth_fine"):
+        np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
