@@ -34,7 +34,7 @@ Z_FAR = 0.95
 # synthetic torch-layout checkpoint
 # ---------------------------------------------------------------------------
 
-def make_torch_ckpt(path, rng):
+def make_torch_ckpt(path, rng, n_tau=N_TAU, n_frames=N_FRAMES):
     import torch
 
     sd = {}
@@ -48,8 +48,8 @@ def make_torch_ckpt(path, rng):
     for i in range(D):
         cin = IN_XYZ if i == 0 else (W + IN_XYZ if i == 4 else W)
         lin(f"nerf_fine.static_xyz_encoding_{i+1}.0", cin, W)
-        cin_t = (IN_XYZ + N_TAU if i == 0
-                 else (W + IN_XYZ + N_TAU if i == 4 else W))
+        cin_t = (IN_XYZ + n_tau if i == 0
+                 else (W + IN_XYZ + n_tau if i == 4 else W))
         lin(f"nerf_fine.transient_xyz_encoding_{i+1}.0", cin_t, W)
     lin("nerf_fine.static_xyz_encoding_final", W, W)
     lin("nerf_fine.static_dir_encoding.0", W + IN_DIR, W)
@@ -61,7 +61,7 @@ def make_torch_ckpt(path, rng):
     lin("nerf_fine.transient_flow_fw.0", W, 3)
     lin("nerf_fine.transient_flow_bw.0", W, 3)
     sd["embedding_t.weight"] = torch.tensor(
-        (rng.randn(N_FRAMES, N_TAU) * 0.1).astype(np.float32))
+        (rng.randn(n_frames, n_tau) * 0.1).astype(np.float32))
     # loss buffers must be dropped by prefixes_to_ignore (opt.py:70-71)
     sd["loss.Ks"] = torch.zeros(1, 3, 3)
     torch.save({"state_dict": sd}, path)
