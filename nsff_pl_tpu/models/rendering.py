@@ -678,8 +678,12 @@ def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
              res["transient_alphas_fine"][..., None]], -1)  # (hw, S, 4)
         return rgba.reshape(h, w, S, 4).transpose(2, 0, 1, 3)  # (S, h, w, 4)
 
-    warped_fw = softsplat_batched(planes(results_t), of_fw, None, "average")
-    warped_bw = softsplat_batched(planes(results_tp1), of_bw, None, "average")
+    # one batched call for both directions: halves the probe fetches and
+    # lets matching-D planes of fw/bw share bucket groups
+    warped = softsplat_batched(
+        jnp.concatenate([planes(results_t), planes(results_tp1)], 0),
+        jnp.concatenate([of_fw, of_bw], 0), None, "average")
+    warped_fw, warped_bw = warped[:S], warped[S:]
 
     static_rgb = results_t["static_rgbs_fine"].reshape(h, w, S, 3) \
         .transpose(2, 0, 1, 3)

@@ -81,31 +81,43 @@ def _shift2d(a, ky: int, kx: int):
 
 
 def softsplat_sum_rolls(images: jnp.ndarray, flows: jnp.ndarray,
-                        max_disp: int) -> jnp.ndarray:
+                        max_disp: Optional[int] = None, *,
+                        kx_range=None, ky_range=None) -> jnp.ndarray:
     """Summation splat as a dense shift decomposition — EXACT equal to
-    `softsplat_sum` whenever every |flow| component is <= `max_disp`.
+    `softsplat_sum` whenever every reached integer offset lies in the
+    term ranges.
 
     The XLA scatter-add runs serialized on TPU (~12M updates/s — an MPI
     interpolation frame spent 12.7 s in it); but each source pixel only
-    reaches integer offsets k in [-D, D+1] of itself, so the scatter
-    equals
+    reaches integer offsets k with floor(flow) in [k-1, k], so the
+    scatter equals
 
         out = sum_{ky, kx} shift(v * wy(ky) * wx(kx), ky, kx)
 
-    — (2D+2)^2 dense elementwise+shift terms that batch over the plane
-    axis (measured 3x faster end-to-end for MPI interpolation at D=4;
-    see docs/ROADMAP.md for the alternatives measured slower: a channel-
-    split variant and two pallas roll kernels). CALLER CONTRACT: pick
-    D >= ceil(max |flow|) — larger displacements match no shift term and
-    silently drop splat mass. `softsplat_batched` validates this when
-    the flows are concrete and measures/buckets D itself when `max_disp`
-    is not given; under jit with an explicit `max_disp` the contract is
-    the caller's to uphold.
+    — dense elementwise+shift terms that batch over the plane axis
+    (measured 3x faster end-to-end for MPI interpolation at D=4; see
+    docs/ROADMAP.md for the alternatives measured slower: a channel-
+    split variant and two pallas roll kernels).
+
+    Term ranges: `max_disp=D` expands to the symmetric-contract ranges
+    [-D, D+1] per axis (exact whenever |flow| <= D). `kx_range`/
+    `ky_range` give per-axis inclusive (lo, hi) offset ranges instead —
+    exact iff lo <= floor(f) and floor(f)+1 <= hi for every pixel's flow
+    component f (the term count is the product of the range widths, so
+    tighter measured ranges are quadratically cheaper; `softsplat_batched`
+    measures them per plane). CALLER CONTRACT: out-of-range
+    displacements match no shift term and silently drop splat mass.
+    `softsplat_batched` validates this when the flows are concrete and
+    measures/buckets ranges itself; under jit with explicit ranges the
+    contract is the caller's to uphold.
 
     images: (..., H, W, C); flows: (..., H, W, 2). Differentiable in both
     (the same stop-gradient corner/weight structure as the scatter path).
     """
-    D = int(max_disp)
+    if kx_range is None:
+        kx_range = (-int(max_disp), int(max_disp) + 1)
+    if ky_range is None:
+        ky_range = (-int(max_disp), int(max_disp) + 1)
     H, W = images.shape[-3], images.shape[-2]
     fx, fy = flows[..., 0], flows[..., 1]
     x0f = jnp.floor(fx + jnp.arange(W, dtype=flows.dtype)[None, :])
@@ -126,13 +138,21 @@ def softsplat_sum_rolls(images: jnp.ndarray, flows: jnp.ndarray,
         return jnp.where(off == k, 1.0 - w1, 0.0) \
             + jnp.where(off + 1 == k, w1, 0.0)
 
+    # hoist the 1-channel per-axis select fields out of the quadratic
+    # term loop: the inner iterations then cost one 1-ch multiply +
+    # C-ch multiply-add each instead of recomputing the 4-op select per
+    # term (the splat is VPU-compute-bound)
+    sxs = {kx: sel(ox, wx1, kx)[..., None]
+           for kx in range(kx_range[0], kx_range[1] + 1)}
+    sys_ = {ky: sel(oy, wy1, ky)[..., None]
+            for ky in range(ky_range[0], ky_range[1] + 1)}
+
     out = jnp.zeros(images.shape, images.dtype)
-    for ky in range(-D, D + 2):
-        sy = sel(oy, wy1, ky)[..., None]
+    for ky in range(ky_range[0], ky_range[1] + 1):
+        sy = sys_[ky]
         row = jnp.zeros(images.shape, images.dtype)
-        for kx in range(-D, D + 2):
-            sx = sel(ox, wx1, kx)[..., None]
-            row = row + _shift2d(images * (sy * sx), 0, kx)
+        for kx in range(kx_range[0], kx_range[1] + 1):
+            row = row + _shift2d(images * (sy * sxs[kx]), 0, kx)
         out = out + _shift2d(row, ky, 0)
     return out
 
@@ -177,16 +197,36 @@ def softsplat(image: jnp.ndarray, flow: jnp.ndarray,
     return out[..., :-1] / (norm + eps)
 
 
-_ROLL_BUCKETS = (1, 2, 4, 8, 16)
+# per-axis inclusive offset-range buckets, tightest first: the
+# odd symmetric [-D, D] forms serve flows with floor(f) in [-D, D-1]
+# (i.e. -D <= f < D — the common case since measured maxima are rarely
+# integers), the [-D, D+1] forms the exact-integer / asymmetric spill
+_RANGE_BUCKETS = ((-1, 1), (-1, 2), (-2, 2), (-2, 3), (-4, 4), (-4, 5),
+                  (-8, 8), (-8, 9), (-16, 16), (-16, 17))
 
 
-def _rolls_with_mode(images, flows, mode: str, max_disp: int):
+def _axis_range(lo_f: float, hi_f: float):
+    """Smallest bucketed offset range covering flows in [lo_f, hi_f]
+    (exactness: lo <= floor(lo_f) and floor(hi_f)+1 <= hi), or None."""
+    import math
+
+    lo_need = math.floor(lo_f)
+    hi_need = math.floor(hi_f) + 1
+    for r in _RANGE_BUCKETS:
+        if r[0] <= lo_need and hi_need <= r[1]:
+            return r
+    return None
+
+
+def _rolls_with_mode(images, flows, mode: str, max_disp=None, *,
+                     kx_range=None, ky_range=None):
     """Shift-decomposition splat with 'summation'/'average' semantics."""
+    kw = dict(kx_range=kx_range, ky_range=ky_range)
     if mode == "summation":
-        return softsplat_sum_rolls(images, flows, max_disp)
+        return softsplat_sum_rolls(images, flows, max_disp, **kw)
     stacked = jnp.concatenate(
         [images, jnp.ones_like(images[..., :1])], -1)
-    out = softsplat_sum_rolls(stacked, flows, max_disp)
+    out = softsplat_sum_rolls(stacked, flows, max_disp, **kw)
     norm = out[..., -1:]
     norm = jnp.where(norm == 0.0, 1.0, norm)
     return out[..., :-1] / norm
@@ -206,18 +246,20 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
     """Splat over a leading plane axis (the MPI sample planes in
     `interpolate`): (S, H, W, C) x (S, H, W, 2) -> (S, H, W, C).
 
-    When every |flow| component of a plane is bounded by a small integer
-    D, that plane is splatted with the dense shift decomposition
+    When a plane's flow components are bounded by small integers, that
+    plane is splatted with the dense shift decomposition
     (`softsplat_sum_rolls`) instead of a serialized scatter — measured
     ~2 orders of magnitude faster on TPU for MPI interpolation flows
-    (which are sub-pixel to a few pixels). D is taken from `max_disp`
-    (validated when the flows are concrete), or — outside jit, as in the
-    eval CLI's eager per-frame loop — measured PER PLANE in one batched
-    probe fetch and bucketed to limit recompiles: the shift term count
-    is quadratic in D, so one fast-moving plane must not drag the whole
-    stack to a large D. Plane groups are padded to power-of-two counts
-    so repeated calls reuse shapes. Planes beyond the largest bucket
-    (and traced flows without `max_disp`) keep the exact scatter path.
+    (which are sub-pixel to a few pixels). The offset ranges come from
+    `max_disp` (validated when the flows are concrete), or — outside
+    jit, as in the eval CLI's eager per-frame loop — are measured PER
+    PLANE AND PER AXIS in one batched probe fetch and bucketed to limit
+    recompiles: the term count is the product of the two range widths,
+    so one fast-moving plane must not drag the whole stack to a large
+    range, and purely horizontal motion doesn't pay for vertical taps.
+    Plane groups are padded to power-of-two counts so repeated calls
+    reuse shapes. Planes beyond the largest bucket (and traced flows
+    without `max_disp`) keep the exact scatter path.
     """
     rolls_ok = metric is None and mode in ("average", "summation")
     concrete = not (isinstance(flows, jax.core.Tracer)
@@ -237,20 +279,29 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
         import numpy as np
 
         S = images.shape[0]
-        # one batched probe fetch for the whole stack
-        d_per = np.asarray(jnp.max(jnp.abs(flows.reshape(S, -1)), axis=1))
-        buckets = np.full(S, -1, np.int64)  # -1 = exact scatter fallback
-        for bi in range(len(_ROLL_BUCKETS) - 1, -1, -1):
-            buckets[d_per <= _ROLL_BUCKETS[bi]] = bi
-        if np.all(buckets == buckets[0]) and buckets[0] >= 0:
+        # one batched probe fetch for the whole stack: per-plane per-axis
+        # flow extrema (the term count is the product of the two range
+        # widths, so measuring x and y separately pays off quadratically
+        # on directional motion)
+        fl2 = flows.reshape(S, -1, 2)
+        ext = np.asarray(jnp.stack([jnp.min(fl2, 1), jnp.max(fl2, 1)], 1))
+        # per plane: bucketed (kx_range, ky_range) or None -> scatter
+        groups: dict = {}
+        for i in range(S):
+            rx = _axis_range(ext[i, 0, 0], ext[i, 1, 0])
+            ry = _axis_range(ext[i, 0, 1], ext[i, 1, 1])
+            key = (rx, ry) if (rx and ry) else None
+            groups.setdefault(key, []).append(i)
+        if len(groups) == 1 and None not in groups:
+            (rx, ry), _ = next(iter(groups.items()))
             return _rolls_with_mode(images, flows, mode,
-                                    _ROLL_BUCKETS[buckets[0]])
-        if np.any(buckets >= 0):
+                                    kx_range=rx, ky_range=ry)
+        if any(k is not None for k in groups):
             out_planes = [None] * S
-            for bi in sorted(set(buckets.tolist())):
-                idx = np.nonzero(buckets == bi)[0]
+            for key, idx_list in groups.items():
+                idx = np.asarray(idx_list)
                 im_g, fl_g = images[idx], flows[idx]
-                if bi < 0:
+                if key is None:
                     o = jax.vmap(
                         lambda im, fl: softsplat(im, fl, None, mode))(
                             im_g, fl_g)
@@ -264,7 +315,8 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
                             [fl_g, jnp.zeros((pad,) + fl_g.shape[1:],
                                              fl_g.dtype)])
                     o = _rolls_with_mode(im_g, fl_g, mode,
-                                         _ROLL_BUCKETS[bi])[:len(idx)]
+                                         kx_range=key[0],
+                                         ky_range=key[1])[:len(idx)]
                 for j, i in enumerate(idx.tolist()):
                     out_planes[i] = o[j]
             return jnp.stack(out_planes, 0)

@@ -349,3 +349,42 @@ def test_explicit_max_disp_violation_raises():
     # an honest bound passes
     out = softsplat_batched(imgs, flows, None, "average", max_disp=8)
     assert jnp.isfinite(out).all()
+
+
+def test_anisotropic_range_exactness():
+    """Per-axis measured offset ranges (round 3): strongly directional
+    flows (large x, sub-pixel y), negative-only flows, and exact-integer
+    maxima must all stay EXACT vs the scatter — the tighter asymmetric
+    ranges may never drop splat mass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops.softsplat import (_axis_range, softsplat,
+                                           softsplat_batched)
+
+    # range selection corners
+    assert _axis_range(-0.9, 0.9) == (-1, 1)
+    assert _axis_range(-1.0, 1.0) == (-1, 2)   # f == 1.0 needs offset 2
+    assert _axis_range(-3.9, 3.9) == (-4, 4)
+    assert _axis_range(-4.0, 4.0) == (-4, 5)
+    assert _axis_range(0.0, 0.4) == (-1, 1)
+    assert _axis_range(-17.0, 0.0) is None     # beyond all buckets
+
+    key = jax.random.PRNGKey(3)
+    S, H, W, C = 4, 13, 29, 3
+    imgs = jax.random.uniform(key, (S, H, W, C))
+    fx = 7.5 * jax.random.normal(jax.random.PRNGKey(4), (S, H, W))
+    fy = 0.4 * jax.random.normal(jax.random.PRNGKey(5), (S, H, W))
+    flows = jnp.clip(jnp.stack([fx, fy], -1), -7.9, 7.9)
+    flows = flows.at[1].mul(-0.1)             # small isotropic plane
+    flows = flows.at[2, :, :, 0].set(3.0)     # exact-integer x maxima
+    flows = flows.at[3].set(0.0)
+    flows = flows.at[3, :, :, 1].add(-2.5)    # negative-only y motion
+
+    for mode in ("summation", "average"):
+        ref = jnp.stack([softsplat(imgs[i], flows[i], None, mode)
+                         for i in range(S)])
+        out = softsplat_batched(imgs, flows, None, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, err_msg=mode)
