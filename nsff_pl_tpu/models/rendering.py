@@ -18,6 +18,7 @@ and interpolation layers line up 1:1.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -618,6 +619,77 @@ def render_rays(
     return results
 
 
+@functools.partial(jax.jit, static_argnames=("w", "h"))
+def _interp_pre(xyzs, flows_fw, flows_bw, rgba_t, rgba_tp1, dt, K, c2w,
+                *, w, h):
+    """Everything in `interpolate` upstream of the splat, as ONE compiled
+    program: per-plane projected optical flows + the stacked (2S, h, w, 4)
+    transient MPI planes for both warp directions. Jitting matters because
+    `interpolate` runs eagerly (the splat's bucket probe needs concrete
+    flows) and per-op dispatch latency over a remote-device link otherwise
+    dominates the compute."""
+    S = xyzs.shape[1]
+
+    # projection matrix ("right up back" -> "right down forward",
+    # rendering.py:390-394)
+    c2w4 = jnp.eye(4).at[:3].set(c2w)
+    w2c = jnp.linalg.inv(c2w4)[:3]
+    w2c = w2c * jnp.array([[1.0], [-1.0], [-1.0]])
+    P = jnp.asarray(K) @ w2c  # (3, 4)
+
+    grid = jnp.stack(jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                                  jnp.arange(h, dtype=jnp.float32)), -1)
+
+    def plane_flow(flows_3d, scale):
+        """3D scene flow -> per-plane 2D optical flow via projection
+        (rendering.py:404-414)."""
+        pts = xyzs.reshape(-1, 3)
+        xyzs_w = ray_ops.ndc2world(pts, K)
+        warped_w = ray_ops.ndc2world((xyzs + flows_3d).reshape(-1, 3), K)
+        warped_w = xyzs_w + scale * (warped_w - xyzs_w)
+        uvd = P[:, :3] @ warped_w.T + P[:, 3:]
+        uv = uvd[:2] / uvd[2]  # (2, hw*S)
+        uv = uv.reshape(2, h, w, S).transpose(3, 1, 2, 0)  # (S, h, w, 2)
+        return uv - grid
+
+    def planes(rgba):
+        return rgba.reshape(h, w, S, 4).transpose(2, 0, 1, 3)
+
+    flows_cat = jnp.concatenate([plane_flow(flows_fw, dt),
+                                 plane_flow(flows_bw, 1.0 - dt)], 0)
+    planes_cat = jnp.concatenate([planes(rgba_t), planes(rgba_tp1)], 0)
+    return planes_cat, flows_cat
+
+
+@jax.jit
+def _interp_post(warped, static_rgb_flat, static_a_flat, zs_flat, dt):
+    """Blend + over-composite downstream of the splat (one program; see
+    `_interp_pre`). Reference: rendering.py:450-458."""
+    S2, h, w = warped.shape[:3]
+    S = S2 // 2
+    warped_fw, warped_bw = warped[:S], warped[S:]
+    static_rgb = static_rgb_flat.reshape(h, w, S, 3).transpose(2, 0, 1, 3)
+    static_a = static_a_flat.reshape(h, w, S, 1).transpose(2, 0, 1, 3)
+
+    # per-plane blend (rendering.py:450-455)
+    composed_rgb = (warped_fw[..., :3] * warped_fw[..., 3:] * (1 - dt)
+                    + warped_bw[..., :3] * warped_bw[..., 3:] * dt
+                    + static_rgb * static_a)
+    composed_a = 1.0 - (1.0 - (warped_fw[..., 3:] * (1 - dt)
+                               + warped_bw[..., 3:] * dt)) * (1.0 - static_a)
+    composed_a = composed_a[..., 0]  # (S, h, w)
+
+    # front-to-back over-compositing (rendering.py:456-458) as one
+    # exclusive cumprod over planes
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(composed_a[:1]),
+                         1.0 - composed_a[:-1]], 0), 0)  # (S, h, w)
+    rgb = jnp.sum(trans[..., None] * composed_rgb, 0)
+    zs = zs_flat.reshape(h, w, S)
+    depth = jnp.sum(trans * composed_a * zs.transpose(2, 0, 1), 0)
+    return rgb, depth
+
+
 def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
     """Space-time interpolation between two rendered frames t and t+1.
 
@@ -643,66 +715,20 @@ def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
     from nsff_pl_tpu.ops.softsplat import softsplat_batched
 
     w, h = img_wh
-    xyzs = results_t["xyzs_fine"]  # (hw, S, 3)
-    n_rays, S = xyzs.shape[:2]
-    zs = results_t["zs_fine"].reshape(h, w, S)
+    dt = jnp.float32(dt)  # traced scalar: no recompile per dt value
 
-    # projection matrix ("right up back" -> "right down forward",
-    # rendering.py:390-394)
-    c2w4 = jnp.eye(4).at[:3].set(c2w)
-    w2c = jnp.linalg.inv(c2w4)[:3]
-    w2c = w2c * jnp.array([[1.0], [-1.0], [-1.0]])
-    P = jnp.asarray(K) @ w2c  # (3, 4)
-
-    grid = jnp.stack(jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
-                                  jnp.arange(h, dtype=jnp.float32)), -1)
-
-    def plane_flow(flows_3d, scale):
-        """3D scene flow -> per-plane 2D optical flow via projection
-        (rendering.py:404-414)."""
-        pts = xyzs.reshape(-1, 3)
-        xyzs_w = ray_ops.ndc2world(pts, K)
-        warped_w = ray_ops.ndc2world((xyzs + flows_3d).reshape(-1, 3), K)
-        warped_w = xyzs_w + scale * (warped_w - xyzs_w)
-        uvd = P[:, :3] @ warped_w.T + P[:, 3:]
-        uv = uvd[:2] / uvd[2]  # (2, hw*S)
-        uv = uv.reshape(2, h, w, S).transpose(3, 1, 2, 0)  # (S, h, w, 2)
-        return uv - grid
-
-    of_fw = plane_flow(results_t["transient_flows_fw"], dt)
-    of_bw = plane_flow(results_tp1["transient_flows_bw"], 1.0 - dt)
-
-    def planes(res):
-        rgba = jnp.concatenate(
+    def rgba(res):
+        return jnp.concatenate(
             [res["transient_rgbs_fine"],
              res["transient_alphas_fine"][..., None]], -1)  # (hw, S, 4)
-        return rgba.reshape(h, w, S, 4).transpose(2, 0, 1, 3)  # (S, h, w, 4)
 
-    # one batched call for both directions: halves the probe fetches and
-    # lets matching-D planes of fw/bw share bucket groups
-    warped = softsplat_batched(
-        jnp.concatenate([planes(results_t), planes(results_tp1)], 0),
-        jnp.concatenate([of_fw, of_bw], 0), None, "average")
-    warped_fw, warped_bw = warped[:S], warped[S:]
-
-    static_rgb = results_t["static_rgbs_fine"].reshape(h, w, S, 3) \
-        .transpose(2, 0, 1, 3)
-    static_a = results_t["static_alphas_fine"].reshape(h, w, S, 1) \
-        .transpose(2, 0, 1, 3)
-
-    # per-plane blend (rendering.py:450-455)
-    composed_rgb = (warped_fw[..., :3] * warped_fw[..., 3:] * (1 - dt)
-                    + warped_bw[..., :3] * warped_bw[..., 3:] * dt
-                    + static_rgb * static_a)
-    composed_a = 1.0 - (1.0 - (warped_fw[..., 3:] * (1 - dt)
-                               + warped_bw[..., 3:] * dt)) * (1.0 - static_a)
-    composed_a = composed_a[..., 0]  # (S, h, w)
-
-    # front-to-back over-compositing (rendering.py:456-458) as one
-    # exclusive cumprod over planes
-    trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(composed_a[:1]),
-                         1.0 - composed_a[:-1]], 0), 0)  # (S, h, w)
-    rgb = jnp.sum(trans[..., None] * composed_rgb, 0)
-    depth = jnp.sum(trans * composed_a * zs.transpose(2, 0, 1), 0)
-    return rgb, depth
+    # one batched splat call for both directions: halves the probe
+    # fetches and lets matching-range fw/bw planes share bucket groups
+    planes_cat, flows_cat = _interp_pre(
+        results_t["xyzs_fine"], results_t["transient_flows_fw"],
+        results_tp1["transient_flows_bw"], rgba(results_t),
+        rgba(results_tp1), dt, jnp.asarray(K), c2w, w=w, h=h)
+    warped = softsplat_batched(planes_cat, flows_cat, None, "average")
+    return _interp_post(warped, results_t["static_rgbs_fine"],
+                        results_t["static_alphas_fine"],
+                        results_t["zs_fine"], dt)
