@@ -623,11 +623,15 @@ def render_rays(
 def _interp_pre(xyzs, flows_fw, flows_bw, rgba_t, rgba_tp1, dt, K, c2w,
                 *, w, h):
     """Everything in `interpolate` upstream of the splat, as ONE compiled
-    program: per-plane projected optical flows + the stacked (2S, h, w, 4)
-    transient MPI planes for both warp directions. Jitting matters because
+    program: per-plane projected optical flows + the stacked transient
+    MPI planes for both warp directions. Jitting matters because
     `interpolate` runs eagerly (the splat's bucket probe needs concrete
     flows) and per-op dispatch latency over a remote-device link otherwise
-    dominates the compute."""
+    dominates the compute.
+
+    Everything is emitted PLANAR — planes (2S, 4, h, w), flow components
+    (2S, h, w) — so the splat's vector lanes ride the 512-wide image
+    axis, not the 4-wide channel axis (see softsplat_sum_rolls_planar)."""
     S = xyzs.shape[1]
 
     # projection matrix ("right up back" -> "right down forward",
@@ -637,57 +641,73 @@ def _interp_pre(xyzs, flows_fw, flows_bw, rgba_t, rgba_tp1, dt, K, c2w,
     w2c = w2c * jnp.array([[1.0], [-1.0], [-1.0]])
     P = jnp.asarray(K) @ w2c  # (3, 4)
 
-    grid = jnp.stack(jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
-                                  jnp.arange(h, dtype=jnp.float32)), -1)
+    def comps(a):  # (hw, S, C) -> C planar (S, h, w) components
+        return tuple(a.transpose(2, 1, 0).reshape(a.shape[2], -1, h, w))
+
+    X, Y, Z = comps(xyzs)
+    kfx, kfy = K[0, 0], K[1, 1]
+    kcx, kcy = K[0, 2], K[1, 2]
+    eps = 1e-6
+
+    def ndc2world_c(x, y, z):
+        """Componentwise `ray_ops.ndc2world` (ray_utils.py:127-151) —
+        struct-of-arrays so every op runs on lane-friendly (S, h, w)
+        planes instead of minor-dim-3 point lists."""
+        rz = 2.0 / (z - 1 - eps)
+        return -rz * x * kcx / kfx, -rz * y * kcy / kfy, rz
 
     def plane_flow(flows_3d, scale):
         """3D scene flow -> per-plane 2D optical flow via projection
-        (rendering.py:404-414)."""
-        pts = xyzs.reshape(-1, 3)
-        xyzs_w = ray_ops.ndc2world(pts, K)
-        warped_w = ray_ops.ndc2world((xyzs + flows_3d).reshape(-1, 3), K)
-        warped_w = xyzs_w + scale * (warped_w - xyzs_w)
-        uvd = P[:, :3] @ warped_w.T + P[:, 3:]
-        uv = uvd[:2] / uvd[2]  # (2, hw*S)
-        uv = uv.reshape(2, h, w, S).transpose(3, 1, 2, 0)  # (S, h, w, 2)
-        return uv - grid
+        (rendering.py:404-414); returns planar (S, h, w) components."""
+        fx3, fy3, fz3 = comps(flows_3d)
+        wx, wy, wz = ndc2world_c(X, Y, Z)
+        dx, dy, dz = ndc2world_c(X + fx3, Y + fy3, Z + fz3)
+        wx, wy, wz = (wx + scale * (dx - wx), wy + scale * (dy - wy),
+                      wz + scale * (dz - wz))
+        u = P[0, 0] * wx + P[0, 1] * wy + P[0, 2] * wz + P[0, 3]
+        v = P[1, 0] * wx + P[1, 1] * wy + P[1, 2] * wz + P[1, 3]
+        d = P[2, 0] * wx + P[2, 1] * wy + P[2, 2] * wz + P[2, 3]
+        fx = u / d - jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        fy = v / d - jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        return fx, fy
 
-    def planes(rgba):
-        return rgba.reshape(h, w, S, 4).transpose(2, 0, 1, 3)
+    def planes(rgba):  # (hw, S, 4) -> (S, 4, h, w)
+        return rgba.transpose(1, 2, 0).reshape(S, 4, h, w)
 
-    flows_cat = jnp.concatenate([plane_flow(flows_fw, dt),
-                                 plane_flow(flows_bw, 1.0 - dt)], 0)
+    fx_t, fy_t = plane_flow(flows_fw, dt)
+    fx_p, fy_p = plane_flow(flows_bw, 1.0 - dt)
     planes_cat = jnp.concatenate([planes(rgba_t), planes(rgba_tp1)], 0)
-    return planes_cat, flows_cat
+    return (planes_cat, jnp.concatenate([fx_t, fx_p], 0),
+            jnp.concatenate([fy_t, fy_p], 0))
 
 
 @jax.jit
 def _interp_post(warped, static_rgb_flat, static_a_flat, zs_flat, dt):
-    """Blend + over-composite downstream of the splat (one program; see
-    `_interp_pre`). Reference: rendering.py:450-458."""
-    S2, h, w = warped.shape[:3]
+    """Blend + over-composite downstream of the splat (one program,
+    planar layout; see `_interp_pre`). Reference: rendering.py:450-458."""
+    S2, _, h, w = warped.shape
     S = S2 // 2
-    warped_fw, warped_bw = warped[:S], warped[S:]
-    static_rgb = static_rgb_flat.reshape(h, w, S, 3).transpose(2, 0, 1, 3)
-    static_a = static_a_flat.reshape(h, w, S, 1).transpose(2, 0, 1, 3)
+    warped_fw, warped_bw = warped[:S], warped[S:]  # (S, 4, h, w)
+    static_rgb = static_rgb_flat.transpose(1, 2, 0).reshape(S, 3, h, w)
+    static_a = static_a_flat.T.reshape(S, h, w)[:, None]
 
     # per-plane blend (rendering.py:450-455)
-    composed_rgb = (warped_fw[..., :3] * warped_fw[..., 3:] * (1 - dt)
-                    + warped_bw[..., :3] * warped_bw[..., 3:] * dt
+    composed_rgb = (warped_fw[:, :3] * warped_fw[:, 3:] * (1 - dt)
+                    + warped_bw[:, :3] * warped_bw[:, 3:] * dt
                     + static_rgb * static_a)
-    composed_a = 1.0 - (1.0 - (warped_fw[..., 3:] * (1 - dt)
-                               + warped_bw[..., 3:] * dt)) * (1.0 - static_a)
-    composed_a = composed_a[..., 0]  # (S, h, w)
+    composed_a = 1.0 - (1.0 - (warped_fw[:, 3:] * (1 - dt)
+                               + warped_bw[:, 3:] * dt)) * (1.0 - static_a)
+    composed_a = composed_a[:, 0]  # (S, h, w)
 
     # front-to-back over-compositing (rendering.py:456-458) as one
     # exclusive cumprod over planes
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones_like(composed_a[:1]),
                          1.0 - composed_a[:-1]], 0), 0)  # (S, h, w)
-    rgb = jnp.sum(trans[..., None] * composed_rgb, 0)
-    zs = zs_flat.reshape(h, w, S)
-    depth = jnp.sum(trans * composed_a * zs.transpose(2, 0, 1), 0)
-    return rgb, depth
+    rgb = jnp.sum(trans[:, None] * composed_rgb, 0)  # (3, h, w)
+    zs = zs_flat.T.reshape(S, h, w)
+    depth = jnp.sum(trans * composed_a * zs, 0)
+    return rgb.transpose(1, 2, 0), depth
 
 
 def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
@@ -712,7 +732,7 @@ def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
     Outputs:
         rgb: (h, w, 3); depth: (h, w) in NDC
     """
-    from nsff_pl_tpu.ops.softsplat import softsplat_batched
+    from nsff_pl_tpu.ops.softsplat import softsplat_batched_planar
 
     w, h = img_wh
     dt = jnp.float32(dt)  # traced scalar: no recompile per dt value
@@ -724,11 +744,12 @@ def interpolate(results_t, results_tp1, dt, K, c2w, img_wh):
 
     # one batched splat call for both directions: halves the probe
     # fetches and lets matching-range fw/bw planes share bucket groups
-    planes_cat, flows_cat = _interp_pre(
+    planes_cat, fx_cat, fy_cat = _interp_pre(
         results_t["xyzs_fine"], results_t["transient_flows_fw"],
         results_tp1["transient_flows_bw"], rgba(results_t),
         rgba(results_tp1), dt, jnp.asarray(K), c2w, w=w, h=h)
-    warped = softsplat_batched(planes_cat, flows_cat, None, "average")
+    warped = softsplat_batched_planar(planes_cat, fx_cat, fy_cat,
+                                      "average")
     return _interp_post(warped, results_t["static_rgbs_fine"],
                         results_t["static_alphas_fine"],
                         results_t["zs_fine"], dt)

@@ -158,6 +158,60 @@ def softsplat_sum_rolls(images: jnp.ndarray, flows: jnp.ndarray,
     return out
 
 
+def _shift2d_hw(a, ky: int, kx: int):
+    """`_shift2d` for W-minor planar arrays (..., H, W)."""
+    H, W = a.shape[-2], a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 2) + [(max(ky, 0), max(-ky, 0)),
+                                     (max(kx, 0), max(-kx, 0))]
+    a = jnp.pad(a, pad)
+    return a[..., max(-ky, 0):max(-ky, 0) + H,
+             max(-kx, 0):max(-kx, 0) + W]
+
+
+def softsplat_sum_rolls_planar(images: jnp.ndarray, fx: jnp.ndarray,
+                               fy: jnp.ndarray, *, kx_range,
+                               ky_range) -> jnp.ndarray:
+    """`softsplat_sum_rolls` in PLANAR layout: images (..., C, H, W),
+    flow components fx/fy (..., H, W) — same math, term for term.
+
+    Layout is the whole point: channels-last puts C (2-5 for MPI planes)
+    on the TPU's 128-wide lane dimension, so every elementwise op in the
+    term loop runs at <4% lane utilization; W-minor planar tiles (H, W)
+    = (288, 512) perfectly. Measured 6x end-to-end on MPI interpolation
+    (see docs/ROADMAP.md round 3)."""
+    H, W = images.shape[-2], images.shape[-1]
+    x0f = jnp.floor(fx + jnp.arange(W, dtype=fx.dtype)[None, :])
+    y0f = jnp.floor(fy + jnp.arange(H, dtype=fy.dtype)[:, None])
+    wx1 = fx + jnp.arange(W, dtype=fx.dtype)[None, :] \
+        - jax.lax.stop_gradient(x0f)
+    wy1 = fy + jnp.arange(H, dtype=fy.dtype)[:, None] \
+        - jax.lax.stop_gradient(y0f)
+    ox = jax.lax.stop_gradient(x0f).astype(jnp.int32) \
+        - jnp.arange(W, dtype=jnp.int32)[None, :]
+    oy = jax.lax.stop_gradient(y0f).astype(jnp.int32) \
+        - jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    def sel(off, w1, k):
+        return jnp.where(off == k, 1.0 - w1, 0.0) \
+            + jnp.where(off + 1 == k, w1, 0.0)
+
+    # 1-channel select fields, hoisted out of the quadratic term loop;
+    # [..., None, :, :] broadcasts them over the C axis
+    sxs = {kx: sel(ox, wx1, kx)[..., None, :, :]
+           for kx in range(kx_range[0], kx_range[1] + 1)}
+    sys_ = {ky: sel(oy, wy1, ky)[..., None, :, :]
+            for ky in range(ky_range[0], ky_range[1] + 1)}
+
+    out = jnp.zeros(images.shape, images.dtype)
+    for ky in range(ky_range[0], ky_range[1] + 1):
+        sy = sys_[ky]
+        row = jnp.zeros(images.shape, images.dtype)
+        for kx in range(kx_range[0], kx_range[1] + 1):
+            row = row + _shift2d_hw(images * (sy * sxs[kx]), 0, kx)
+        out = out + _shift2d_hw(row, ky, 0)
+    return out
+
+
 def softsplat(image: jnp.ndarray, flow: jnp.ndarray,
               metric: Optional[jnp.ndarray] = None,
               mode: str = "average", eps: float = 0.0) -> jnp.ndarray:
@@ -202,8 +256,9 @@ def softsplat(image: jnp.ndarray, flow: jnp.ndarray,
 # odd symmetric [-D, D] forms serve flows with floor(f) in [-D, D-1]
 # (i.e. -D <= f < D — the common case since measured maxima are rarely
 # integers), the [-D, D+1] forms the exact-integer / asymmetric spill
-_RANGE_BUCKETS = ((-1, 1), (-1, 2), (-2, 2), (-2, 3), (-4, 4), (-4, 5),
-                  (-8, 8), (-8, 9), (-16, 16), (-16, 17))
+_RANGE_BUCKETS = ((-1, 1), (-1, 2), (-2, 2), (-2, 3), (-3, 3), (-3, 4),
+                  (-4, 4), (-4, 5), (-6, 6), (-6, 7), (-8, 8), (-8, 9),
+                  (-12, 12), (-12, 13), (-16, 16), (-16, 17))
 
 
 def _axis_range(lo_f: float, hi_f: float):
@@ -286,6 +341,121 @@ def _jit_scatter(mode: str):
     return jax.jit(jax.vmap(lambda im, fl: softsplat(im, fl, None, mode)))
 
 
+@jax.jit
+def _probe_planar(fx, fy):
+    """Per-plane per-axis flow extrema, (S, 4) = [min_x, max_x, min_y,
+    max_y] — jitted: the eager reductions over a (S, H*W)-reshaped stack
+    measured ~750 ms at MPI-interpolation scale (bad eager layouts),
+    the compiled program <2 ms."""
+    S = fx.shape[0]
+    fxr, fyr = fx.reshape(S, -1), fy.reshape(S, -1)
+    return jnp.stack([jnp.min(fxr, 1), jnp.max(fxr, 1),
+                      jnp.min(fyr, 1), jnp.max(fyr, 1)], 1)
+
+
+@jax.jit
+def _probe_cl(flows):
+    """`_probe_planar` for channels-last (S, H, W, 2) flows."""
+    return _probe_planar(flows[..., 0], flows[..., 1])
+
+
+def _rolls_planar_with_mode(images, fx, fy, mode: str, kx_range, ky_range):
+    """Planar-layout splat with 'summation'/'average' semantics
+    (C rides axis -3; cf. `_rolls_with_mode`)."""
+    if mode == "summation":
+        return softsplat_sum_rolls_planar(images, fx, fy,
+                                          kx_range=kx_range,
+                                          ky_range=ky_range)
+    stacked = jnp.concatenate(
+        [images, jnp.ones_like(images[..., :1, :, :])], -3)
+    out = softsplat_sum_rolls_planar(stacked, fx, fy, kx_range=kx_range,
+                                     ky_range=ky_range)
+    norm = out[..., -1:, :, :]
+    norm = jnp.where(norm == 0.0, 1.0, norm)
+    return out[..., :-1, :, :] / norm
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rolls_planar(mode: str, kx_range, ky_range):
+    """Planar-layout counterpart of `_jit_rolls` (same chunked lax.map
+    to bound the live set of term buffers)."""
+    def chunk(args):
+        im, fx, fy = args
+        return _rolls_planar_with_mode(im, fx, fy, mode,
+                                       kx_range, ky_range)
+
+    def f(images, fx, fy):
+        S = images.shape[0]
+        if S <= _ROLL_CHUNK:
+            return chunk((images, fx, fy))
+        pad = -S % _ROLL_CHUNK
+        if pad:
+            images, fx, fy = (
+                jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                for a in (images, fx, fy))
+        out = jax.lax.map(
+            chunk, tuple(a.reshape((-1, _ROLL_CHUNK) + a.shape[1:])
+                         for a in (images, fx, fy)))
+        return out.reshape((-1,) + images.shape[1:])[:S]
+
+    return jax.jit(f)
+
+
+def softsplat_batched_planar(images: jnp.ndarray, fx: jnp.ndarray,
+                             fy: jnp.ndarray,
+                             mode: str = "average") -> jnp.ndarray:
+    """`softsplat_batched` for PLANAR plane stacks: (S, C, H, W) x two
+    (S, H, W) flow components -> (S, C, H, W).
+
+    Same per-plane/per-axis measured bucketing (one probe fetch), but
+    the splat math runs W-minor so the TPU's vector lanes ride the
+    512-wide image axis instead of the 4-wide channel axis. Eager
+    (concrete-flow) callers only — `interpolate`'s per-frame loop.
+    Planes beyond the largest bucket fall back to the exact scatter
+    (transposed through the channels-last kernel)."""
+    import numpy as np
+
+    assert mode in ("average", "summation")
+    S = images.shape[0]
+    if not S:
+        return images
+    ext = np.asarray(_probe_planar(fx, fy))
+    groups: dict = {}
+    for i in range(S):
+        rx = _axis_range(ext[i, 0], ext[i, 1])
+        ry = _axis_range(ext[i, 2], ext[i, 3])
+        key = (rx, ry) if (rx and ry) else None
+        groups.setdefault(key, []).append(i)
+    if len(groups) == 1 and None not in groups:
+        (rx, ry), _ = next(iter(groups.items()))
+        return _jit_rolls_planar(mode, rx, ry)(images, fx, fy)
+    # per-group splats reassembled with ONE inverse-permutation gather
+    # (a per-plane python stack costs hundreds of eager dispatches)
+    parts, order = [], []
+    for key, idx_list in groups.items():
+        idx = np.asarray(idx_list)
+        im_g, fx_g, fy_g = images[idx], fx[idx], fy[idx]
+        if key is None:
+            o = _jit_scatter(mode)(
+                im_g.transpose(0, 2, 3, 1),
+                jnp.stack([fx_g, fy_g], -1)).transpose(0, 3, 1, 2)
+        else:
+            pad = _next_pow2(len(idx)) - len(idx)
+            if pad:
+                im_g, fx_g, fy_g = (
+                    jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                    for a in (im_g, fx_g, fy_g))
+            o = _jit_rolls_planar(mode, key[0], key[1])(
+                im_g, fx_g, fy_g)[:len(idx)]
+        parts.append(o)
+        order.extend(idx.tolist())
+    inv = np.empty(S, np.int64)
+    inv[np.asarray(order)] = np.arange(S)
+    return jnp.concatenate(parts, 0)[jnp.asarray(inv)]
+
+
 def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
                       metric: Optional[jnp.ndarray] = None,
                       mode: str = "average",
@@ -332,20 +502,21 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
         # flow extrema (the term count is the product of the two range
         # widths, so measuring x and y separately pays off quadratically
         # on directional motion)
-        fl2 = flows.reshape(S, -1, 2)
-        ext = np.asarray(jnp.stack([jnp.min(fl2, 1), jnp.max(fl2, 1)], 1))
+        ext = np.asarray(_probe_cl(flows))
         # per plane: bucketed (kx_range, ky_range) or None -> scatter
         groups: dict = {}
         for i in range(S):
-            rx = _axis_range(ext[i, 0, 0], ext[i, 1, 0])
-            ry = _axis_range(ext[i, 0, 1], ext[i, 1, 1])
+            rx = _axis_range(ext[i, 0], ext[i, 1])
+            ry = _axis_range(ext[i, 2], ext[i, 3])
             key = (rx, ry) if (rx and ry) else None
             groups.setdefault(key, []).append(i)
         if len(groups) == 1 and None not in groups:
             (rx, ry), _ = next(iter(groups.items()))
             return _jit_rolls(mode, rx, ry)(images, flows)
         if any(k is not None for k in groups):
-            out_planes = [None] * S
+            # see softsplat_batched_planar: one inverse-permutation
+            # gather instead of a per-plane python stack
+            parts, order = [], []
             for key, idx_list in groups.items():
                 idx = np.asarray(idx_list)
                 im_g, fl_g = images[idx], flows[idx]
@@ -362,9 +533,11 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
                                              fl_g.dtype)])
                     o = _jit_rolls(mode, key[0], key[1])(
                         im_g, fl_g)[:len(idx)]
-                for j, i in enumerate(idx.tolist()):
-                    out_planes[i] = o[j]
-            return jnp.stack(out_planes, 0)
+                parts.append(o)
+                order.extend(idx.tolist())
+            inv = np.empty(S, np.int64)
+            inv[np.asarray(order)] = np.arange(S)
+            return jnp.concatenate(parts, 0)[jnp.asarray(inv)]
 
     fn = lambda im, fl: softsplat(im, fl, metric, mode)  # noqa: E731
     return jax.vmap(fn)(images, flows)

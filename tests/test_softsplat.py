@@ -388,3 +388,33 @@ def test_anisotropic_range_exactness():
         out = softsplat_batched(imgs, flows, None, mode)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-5, err_msg=mode)
+
+
+def test_planar_batched_matches_channels_last():
+    """The W-minor planar splat (round 3 layout rework for TPU lane
+    utilization) must match the channels-last `softsplat_batched`
+    exactly — including mixed bucket groups and the scatter fallback
+    for an out-of-bucket fast plane."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops.softsplat import (softsplat_batched,
+                                           softsplat_batched_planar)
+
+    key = jax.random.PRNGKey(11)
+    S, H, W, C = 5, 11, 23, 4
+    imgs = jax.random.uniform(key, (S, H, W, C))
+    flows = 2.5 * jax.random.normal(jax.random.PRNGKey(12), (S, H, W, 2))
+    flows = flows.at[1].mul(0.05)              # sub-pixel plane
+    flows = flows.at[2, :, :, 1].mul(0.01)     # anisotropic plane
+    flows = flows.at[4, 3, 3, 0].set(40.0)     # beyond buckets -> scatter
+    flows = jnp.clip(flows, -50.0, 50.0)
+
+    for mode in ("summation", "average"):
+        ref = softsplat_batched(imgs, flows, None, mode)
+        out = softsplat_batched_planar(
+            imgs.transpose(0, 3, 1, 2), flows[..., 0], flows[..., 1],
+            mode).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-6, err_msg=mode)

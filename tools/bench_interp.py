@@ -62,3 +62,37 @@ s = float(jnp.sum(rgb)) + float(jnp.sum(depth))
 print(f"steady state: {(time.perf_counter() - t0) / 3:.2f} s/frame "
       f"(chk {s:.3e})")
 assert np.isfinite(np.asarray(rgb)).all()
+
+# stage breakdown (each stage forced with a value fetch, so the numbers
+# include one tunnel round trip each — the sum exceeds the pipelined
+# end-to-end time above)
+from nsff_pl_tpu.models.rendering import _interp_post, _interp_pre
+from nsff_pl_tpu.ops.softsplat import softsplat_batched_planar
+
+dt = jnp.float32(0.5)
+rgba_t = jnp.concatenate([res_t["transient_rgbs_fine"],
+                          res_t["transient_alphas_fine"][..., None]], -1)
+rgba_tp1 = jnp.concatenate([res_tp1["transient_rgbs_fine"],
+                            res_tp1["transient_alphas_fine"][..., None]], -1)
+
+def pre():
+    return _interp_pre(
+        res_t["xyzs_fine"], res_t["transient_flows_fw"],
+        res_tp1["transient_flows_bw"], rgba_t, rgba_tp1, dt, K, c2w,
+        w=w, h=h)
+
+pre()  # compile
+t0 = time.perf_counter()
+planes_cat, fx_cat, fy_cat = pre()
+float(jnp.sum(fy_cat))
+print(f"  pre: {time.perf_counter() - t0:.3f} s")
+t0 = time.perf_counter()
+warped = softsplat_batched_planar(planes_cat, fx_cat, fy_cat, "average")
+float(jnp.sum(warped))
+print(f"  splat (incl probe): {time.perf_counter() - t0:.3f} s")
+t0 = time.perf_counter()
+rgb2, depth2 = _interp_post(warped, res_t["static_rgbs_fine"],
+                            res_t["static_alphas_fine"],
+                            res_t["zs_fine"], dt)
+float(jnp.sum(rgb2))
+print(f"  post: {time.perf_counter() - t0:.3f} s")
