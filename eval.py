@@ -89,10 +89,23 @@ def load_params(args, cfg):
                     "sampling_weights": np.zeros((1,), np.float32)}
         restored = ckpt_lib.restore_checkpoint(args.ckpt_path, abstract)
         return restored["state"].params
-    except Exception:
-        restored = ckpt_lib.restore_checkpoint(args.ckpt_path,
-                                               {"params": init})
-        return restored["params"]
+    except Exception as e:
+        print(f"full-train-state restore failed "
+              f"({type(e).__name__}: {str(e)[:300]}); "
+              f"trying bare params", flush=True)
+        try:
+            restored = ckpt_lib.restore_checkpoint(args.ckpt_path,
+                                                   {"params": init})
+            return restored["params"]
+        except Exception:
+            raise SystemExit(
+                "could not restore the checkpoint with either a full "
+                "train-state or a bare-params structure. This is usually "
+                "a model-shape mismatch: eval must be invoked with the "
+                "same model flags as training (--use_viewdir --encode_a "
+                "--encode_t --N_tau ... — compare "
+                f"{args.ckpt_path.rstrip('/').rsplit('/', 1)[0]}"
+                "/config.json)")
 
 
 def save_depth_img(depth, h, w, dir_name, filename):
