@@ -418,3 +418,33 @@ def test_planar_batched_matches_channels_last():
             mode).transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-6, err_msg=mode)
+
+
+def test_jit_rolls_chunked_path_matches():
+    """S > _ROLL_CHUNK runs the sequential lax.map chunking (with tail
+    padding when S isn't a chunk multiple) inside the jitted splats; both
+    layouts must still match the per-plane scatter exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsff_pl_tpu.ops import softsplat as ss
+
+    key = jax.random.PRNGKey(21)
+    S, H, W, C = 19, 9, 17, 3  # 19 = one full 16-chunk + padded tail
+    assert S > ss._ROLL_CHUNK and S % ss._ROLL_CHUNK
+    imgs = jax.random.uniform(key, (S, H, W, C))
+    flows = jnp.clip(
+        1.4 * jax.random.normal(jax.random.PRNGKey(22), (S, H, W, 2)),
+        -1.9, 1.9)
+
+    ref = jnp.stack([ss.softsplat(imgs[i], flows[i], None, "average")
+                     for i in range(S)])
+    out_cl = ss._jit_rolls("average", (-2, 2), (-2, 2))(imgs, flows)
+    out_pl = ss._jit_rolls_planar("average", (-2, 2), (-2, 2))(
+        imgs.transpose(0, 3, 1, 2), flows[..., 0],
+        flows[..., 1]).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_cl), np.asarray(ref),
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(ref),
+                               atol=3e-6)
