@@ -51,11 +51,21 @@ class TensorBoardLogger:
             self.writer = None
         self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
-    def scalar(self, tag: str, value, step: int):
+    def scalar(self, tag: str, value, step: int, jsonl: bool = True):
         v = float(value)
         if self.writer is not None:
             self.writer.add_scalar(tag, v, step)
-        self.jsonl.write(f'{{"step": {step}, "{tag}": {v}}}\n')
+        if jsonl:
+            self.jsonl.write(f'{{"step": {step}, "{tag}": {v}}}\n')
+
+    def row_jsonl(self, metrics: dict, step: int):
+        """Per-step metrics to the JSONL only (no TensorBoard): one
+        buffered file write. The reference's Lightning logger emits ONE
+        TB point per log_every_n_steps=50 window (train.py:282-286
+        defaults), and `SummaryWriter.add_scalar` costs ~1 ms each — at
+        13 metrics x 50 steps per window that throttled training ~25%."""
+        vals = ", ".join(f'"{t}": {float(v)}' for t, v in metrics.items())
+        self.jsonl.write(f'{{"step": {step}, {vals}}}\n')
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int):
         if self.writer is not None:
@@ -275,7 +285,8 @@ class NSFFSystem:
                 g = min(g, cfg.val_every_steps - step % cfg.val_every_steps)
             self.rng, k = jax.random.split(self.rng)
             if g == self.scan_steps and g > 1:
-                ts = jnp.asarray([self.scheduler.next() for _ in range(g)])
+                ts = jnp.asarray(np.fromiter(
+                    (self.scheduler.next() for _ in range(g)), np.int32, g))
                 tmp = self.tmp_rgb if cfg.hard_sampling else tmp_dummy
                 self.state, tmp, metrics = self.train_step(
                     self.state, tmp, self.batcher.table,
@@ -308,14 +319,21 @@ class NSFFSystem:
                 # fetch is a full round trip on a tunneled backend)
                 fetched = jax.device_get([m for *_, m in pending])
                 last = None
+                last_step = step - 1
                 for (s0, n, _), m in zip(pending, fetched):
                     for i in range(n):
                         row = {name: (v[i] if n > 1 else v)
                                for name, v in m.items()}
-                        for name, v in row.items():
-                            self.logger.scalar(f"train/{name}", float(v),
-                                               s0 + i)
+                        self.logger.row_jsonl(
+                            {f"train/{k}": v for k, v in row.items()},
+                            s0 + i)
                         last = row
+                # TB gets one point per window — the reference's
+                # Lightning log_every_n_steps=50 behavior (train.py:282);
+                # the JSONL already has every step's row
+                for name, v in last.items():
+                    self.logger.scalar(f"train/{name}", float(v),
+                                       last_step, jsonl=False)
                 # lr taxonomy parity (train.py:193)
                 self.logger.scalar("lr", float(self.lr_schedule(step - 1)),
                                    step - 1)

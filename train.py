@@ -42,6 +42,13 @@ def main(cfg):
     print(f"scene: {system.train_scene.N_frames} frames "
           f"{cfg.img_wh[0]}x{cfg.img_wh[1]}; "
           f"{system.steps_per_epoch} steps/epoch x {cfg.num_epochs} epochs")
+    if cfg.dtype == "float32" and jax.devices()[0].platform != "cpu":
+        # same silent-cliff policy as the planar-fallback warning: the
+        # default matches the reference's f32 training, but on TPU the
+        # flagship recipe runs the MLP matmuls in bf16 at ~2.5x the
+        # throughput (measured 20.8k -> 52.7k rays/s at batch 512)
+        print("note: training in float32 — pass --dtype bfloat16 for the "
+              "TPU recipe (~2.5x faster; see docs/ROADMAP.md)")
     system.fit(log_every=max(cfg.refresh_every, 1) * 50)
 
 
