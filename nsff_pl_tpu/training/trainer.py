@@ -249,6 +249,20 @@ class NSFFSystem:
                 scan_steps=1, **self._step_kwargs)
         return self._single_step
 
+    def _tb_points(self, rows):
+        """TensorBoard points for fetched train-metrics rows — the
+        reference's Lightning log_every_n_steps cadence (train.py:282);
+        per-step rows go to the JSONL instead. The lr values (device
+        scalars on an accelerator) are pulled in ONE fetch so a flush
+        costs a single extra round trip, not one per point."""
+        lrs = jax.device_get([self.lr_schedule(s) for _, s in rows])
+        for (row, at_step), lr in zip(rows, lrs):
+            for name, v in row.items():
+                self.logger.scalar(f"train/{name}", float(v), at_step,
+                                   jsonl=False)
+            # lr taxonomy parity (train.py:193)
+            self.logger.scalar("lr", float(lr), at_step)
+
     # ------------------------------------------------------------------
     def fit(self, log_every: int = 50, progress: bool = True):
         """The training loop (Trainer.fit, train.py:303).
@@ -262,6 +276,15 @@ class NSFFSystem:
         # values are (n,)-stacked for grouped dispatches, scalars for n=1
         pending = []
         n_pending = 0
+        # metric-fetch cadence: any device_get synchronously drains the
+        # dispatch pipeline — a fixed ~50 ms bubble per fetch over a
+        # tunneled backend regardless of payload (and fetching only
+        # already-completed groups while one is in flight errors on
+        # axon). Fetch in windows of several scan groups and re-emit TB
+        # points at the reference's log_every cadence (Lightning
+        # log_every_n_steps, train.py:282) from the fetched rows; the
+        # JSONL still gets every step.
+        fetch_every = max(log_every, 8 * self.scan_steps)
         t0 = time.time()
         profiling = False
         tmp_dummy = jnp.zeros((1, 1, 3))  # carried (donated) when
@@ -314,12 +337,12 @@ class NSFFSystem:
             step += g
             n_pending += g
 
-            if n_pending >= log_every or step == self.total_steps:
+            if n_pending >= fetch_every or step == self.total_steps:
                 # one bulk device_get instead of per-scalar fetches (each
                 # fetch is a full round trip on a tunneled backend)
                 fetched = jax.device_get([m for *_, m in pending])
                 last = None
-                last_step = step - 1
+                tb_rows = []
                 for (s0, n, _), m in zip(pending, fetched):
                     for i in range(n):
                         row = {name: (v[i] if n > 1 else v)
@@ -328,15 +351,12 @@ class NSFFSystem:
                             {f"train/{k}": v for k, v in row.items()},
                             s0 + i)
                         last = row
-                # TB gets one point per window — the reference's
-                # Lightning log_every_n_steps=50 behavior (train.py:282);
-                # the JSONL already has every step's row
-                for name, v in last.items():
-                    self.logger.scalar(f"train/{name}", float(v),
-                                       last_step, jsonl=False)
-                # lr taxonomy parity (train.py:193)
-                self.logger.scalar("lr", float(self.lr_schedule(step - 1)),
-                                   step - 1)
+                        if (s0 + i) % log_every == log_every - 1:
+                            tb_rows.append((row, s0 + i))
+                if step == self.total_steps and not tb_rows:
+                    # short runs / trailing windows still get a point
+                    tb_rows.append((last, step - 1))
+                self._tb_points(tb_rows)
                 if progress:
                     dt = time.time() - t0
                     rays_s = cfg.batch_size * n_pending / max(dt, 1e-9)
