@@ -49,6 +49,12 @@ def main(cfg):
         # throughput (measured 20.8k -> 52.7k rays/s at batch 512)
         print("note: training in float32 — pass --dtype bfloat16 for the "
               "TPU recipe (~2.5x faster; see docs/ROADMAP.md)")
+    if (cfg.scan_steps == 1 and cfg.batch_size <= 2048
+            and jax.devices()[0].platform != "cpu"):
+        # per-dispatch host round trips dominate small batches; the TPU
+        # recipe amortizes them (measured 52.4k -> 60.3k rays/s at 512)
+        print("note: --scan_steps 1 — pass e.g. --scan_steps 32 to "
+              "amortize per-step dispatch overhead at small batch sizes")
     system.fit(log_every=max(cfg.refresh_every, 1) * 50)
 
 
