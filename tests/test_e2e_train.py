@@ -203,3 +203,36 @@ def test_trainer_scan_steps(scene, tmp_path):
     assert steps == set(range(2 * sys_.steps_per_epoch))
     # hard-sampling buffer received writes
     assert float(np.abs(np.asarray(sys_.tmp_rgb)).sum()) > 0
+
+
+def test_trainer_tb_cadence(scene, tmp_path):
+    """TensorBoard gets ONE point per log_every window at the window's
+    last step — the reference's Lightning log_every_n_steps behavior
+    (train.py:282) — even though the metric fetch is amortized over
+    several scan groups (fetch_every = max(log_every, 8*scan_steps)),
+    and the lr taxonomy point lands at the same steps (train.py:193)."""
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    # steps_per_epoch is 2 here (W*H*N//1000); 12 epochs = 24 steps with
+    # scan_steps=2 -> scan-path groups, fetch windows of 16 steps
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, num_epochs=12,
+               exp_name="e2e_tb", scan_steps=2)
+    sys_ = NSFFSystem(cfg)
+    assert sys_.steps_per_epoch == 2
+    recorded = []
+    orig = sys_.logger.scalar
+    sys_.logger.scalar = (
+        lambda tag, v, step, jsonl=True: (recorded.append((tag, step)),
+                                          orig(tag, v, step, jsonl))[1])
+    sys_.fit(log_every=5, progress=False)
+    want = list(range(4, 24, 5))  # window-final steps 4, 9, 14, 19
+    got_loss = [s for t, s in recorded if t == "train/loss"]
+    got_lr = [s for t, s in recorded if t == "lr"]
+    assert got_loss == want
+    assert got_lr == want
+    # the JSONL fallback still records EVERY step
+    import json as _json
+    sys_.logger.flush()
+    rows = [_json.loads(l) for l in open(sys_.logger.jsonl.name)]
+    steps = sorted(r["step"] for r in rows if "train/loss" in r)
+    assert steps == list(range(24))
