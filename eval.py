@@ -52,6 +52,13 @@ def get_opts(argv=None):
 
     parser.add_argument("--ckpt_path", type=str, required=True)
 
+    parser.add_argument(
+        "--fix_view_dir", default=False, action="store_true",
+        help="on test_spiral* splits, evaluate the view-dependence "
+             "embedding with the FIRST pose's ray directions for every "
+             "frame, so novel spiral views don't extrapolate view-dependent "
+             "color (the reference ships this disabled as a commented-out "
+             "block, `eval.py:192-193`; opt-in here)")
     parser.add_argument("--video_format", type=str, default="mp4",
                         choices=["mp4", "gif"])
     parser.add_argument("--fps", type=int, default=10)
@@ -183,6 +190,15 @@ def main(args):
     rng = jax.random.PRNGKey(42)
     vis_K = jnp.asarray(dataset.K)
 
+    fixed_view_dir = None
+    if args.fix_view_dir and args.split.startswith("test_spiral"):
+        # the reference's (commented-out) intent: embed every spiral frame
+        # with the first pose's ray directions (`eval.py:192-193`)
+        fixed_view_dir = jnp.asarray(
+            dataset.test_item(0)["rays"][:, 3:6])
+        print("fix_view_dir: view-dependence embedded with pose-0 ray "
+              "directions for all frames", flush=True)
+
     def f(rays, ts, t_for_vis):
         """Chunked full-image render (eval.py:81-110) with test-time
         visibility culling against the training camera at time t."""
@@ -190,7 +206,7 @@ def main(args):
                      if output_transient else None)
         return render_full_image(render, params, rays, ts, rng,
                                  chunk=args.chunk, vis_poses=vis_poses,
-                                 vis_K=vis_K)
+                                 vis_K=vis_K, view_dir=fixed_view_dir)
 
     if args.split == "test":
         psnrs = np.zeros((n_frames, 2))

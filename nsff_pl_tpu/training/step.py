@@ -235,13 +235,17 @@ def make_render_fn(
     size."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def render(params, rays, ts, rng, vis_poses=None, vis_K=None):
+    def render(params, rays, ts, rng, vis_poses=None, vis_K=None,
+               view_dir=None):
         models, embeddings = _split_params(params)
         if mesh is not None:
-            sharded = mesh_lib.shard_batch(
-                mesh, {"rays": rays, "ts": ts})
+            batch = {"rays": rays, "ts": ts}
+            if view_dir is not None:
+                batch["view_dir"] = view_dir
+            sharded = mesh_lib.shard_batch(mesh, batch)
             rays = sharded["rays"]
             ts = sharded["ts"] if ts is not None else None
+            view_dir = sharded.get("view_dir")
         out = render_rays(
             models, embeddings, rays, ts, rng, render_cfg,
             test_time=test_time,
@@ -249,6 +253,7 @@ def make_render_fn(
             output_transient_flow=output_transient_flow,
             vis_poses=vis_poses if with_visibility else None,
             vis_K=vis_K if with_visibility else None,
+            view_dir=view_dir,
             mesh=mesh)
         if keys is not None:
             out = {k: v for k, v in out.items() if k in keys}
@@ -258,22 +263,30 @@ def make_render_fn(
 
 
 def render_full_image(render_fn, params, rays, ts, rng, chunk: int = 32768,
-                      vis_poses=None, vis_K=None) -> Dict[str, jnp.ndarray]:
+                      vis_poses=None, vis_K=None,
+                      view_dir=None) -> Dict[str, jnp.ndarray]:
     """Render H*W rays with a fixed-size chunked jitted fn (one compile).
 
     Pads the last chunk to `chunk` rays so every invocation reuses the same
-    executable, then trims."""
+    executable, then trims. `view_dir` optionally overrides the (N, 3)
+    directions used for the view-dependence embedding, chunked alongside
+    the rays (the reference chunks `kwargs['view_dir']` the same way,
+    `eval.py:91-92`)."""
     n = rays.shape[0]
     outs = []
     for i in range(0, n, chunk):
         r = rays[i:i + chunk]
         t = ts[i:i + chunk] if ts is not None else None
+        vd = view_dir[i:i + chunk] if view_dir is not None else None
         pad = chunk - r.shape[0]
         if pad > 0:
             r = jnp.concatenate([r, jnp.broadcast_to(r[-1:], (pad, r.shape[1]))])
             if t is not None:
                 t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (pad,))])
-        out = render_fn(params, r, t, rng, vis_poses, vis_K)
+            if vd is not None:
+                vd = jnp.concatenate(
+                    [vd, jnp.broadcast_to(vd[-1:], (pad, vd.shape[1]))])
+        out = render_fn(params, r, t, rng, vis_poses, vis_K, vd)
         if pad > 0:
             out = {k: v[:chunk - pad] for k, v in out.items()}
         outs.append(out)

@@ -89,3 +89,14 @@ def test_eval_spiral_split(trained):
 
     img = np.asarray(Image.open(os.path.join(out, "000.png")))
     assert img.shape == (24, 32, 3) and img.dtype == np.uint8
+
+
+def test_eval_spiral_fix_view_dir(trained, capsys):
+    """--fix_view_dir embeds every spiral frame with pose-0 ray directions
+    (the reference's commented-out intent, `eval.py:192-193`; opt-in)."""
+    scene, ckpt, tmp = trained
+    out = _run_eval(scene, ckpt, tmp, "test_spiral", "t4",
+                    ("--fix_view_dir",))
+    assert "fix_view_dir" in capsys.readouterr().out
+    for f in ("000.png", "t4.gif"):
+        assert os.path.exists(os.path.join(out, f)), f

@@ -177,3 +177,45 @@ def test_interpolate_shapes_and_consistency():
     r1, _ = interpolate(zero, zero, 0.25, K, c2w, (w, h))
     r2, _ = interpolate(zero, zero, 0.75, K, c2w, (w, h))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_view_dir_override():
+    """`view_dir` replaces only the direction fed to the view-dependence
+    embedding (`rendering.py:308` kwargs['view_dir']): passing rays_d is
+    an identity, and a different direction changes rgb but NOT depth
+    (sigmas are computed before the dir conditioning)."""
+    params, emb, rays, ts, cfg = _setup()
+    base = render_rays(params, emb, rays, ts, jax.random.PRNGKey(0), cfg,
+                       test_time=True, output_transient=True)
+    same = render_rays(params, emb, rays, ts, jax.random.PRNGKey(0), cfg,
+                       test_time=True, output_transient=True,
+                       view_dir=rays[:, 3:6])
+    np.testing.assert_allclose(np.asarray(base["rgb_fine"]),
+                               np.asarray(same["rgb_fine"]), atol=1e-6)
+    other_dir = jnp.tile(jnp.array([[0.3, -0.2, 1.5]]), (rays.shape[0], 1))
+    other = render_rays(params, emb, rays, ts, jax.random.PRNGKey(0), cfg,
+                        test_time=True, output_transient=True,
+                        view_dir=other_dir)
+    assert not np.allclose(np.asarray(base["rgb_fine"]),
+                           np.asarray(other["rgb_fine"]))
+    np.testing.assert_allclose(np.asarray(base["depth_fine"]),
+                               np.asarray(other["depth_fine"]), atol=1e-6)
+
+
+def test_view_dir_through_render_full_image():
+    """The eval-path plumbing: `render_full_image(view_dir=...)` chunks the
+    override alongside the rays (reference `eval.py:91-92`) and matches a
+    direct render_rays call."""
+    from nsff_pl_tpu.training.step import make_render_fn, render_full_image
+
+    params, emb, rays, ts, cfg = _setup()
+    flat = {"nerf_fine": params["fine"], "embedding_t": emb["t"]}
+    vd = jnp.tile(jnp.array([[0.1, 0.2, 1.0]]), (rays.shape[0], 1))
+    render = make_render_fn(cfg, test_time=True, output_transient=True,
+                            keys=("rgb_fine", "depth_fine"))
+    out = render_full_image(render, flat, rays, ts, jax.random.PRNGKey(0),
+                            chunk=4, view_dir=vd)
+    direct = render_rays(params, emb, rays, ts, jax.random.PRNGKey(0), cfg,
+                         test_time=True, output_transient=True, view_dir=vd)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
+                               np.asarray(direct["rgb_fine"]), atol=1e-6)
