@@ -64,6 +64,9 @@ def get_opts(argv=None):
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--save_depth", default=False, action="store_true")
     parser.add_argument("--depth_format", type=str, default="png")
+    parser.add_argument("--jax_cache_dir", type=str, default="",
+                        help="persistent XLA compilation cache directory; "
+                             "repeat runs skip the first-compile cost")
     parser.add_argument(
         "--lpips_weights", type=str, default=None,
         help="path to a torch state dict of the lpips package's "
@@ -129,6 +132,10 @@ def save_depth_img(depth, h, w, dir_name, filename):
 def main(args):
     import jax
     import jax.numpy as jnp
+
+    from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache(getattr(args, "jax_cache_dir", ""))
 
     from nsff_pl_tpu.config import NSFFConfig
     from nsff_pl_tpu.models.rendering import interpolate

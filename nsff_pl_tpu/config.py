@@ -97,6 +97,9 @@ class NSFFConfig:
     # per-step semantics are unchanged (tests/test_pipeline.py), only the
     # RNG stream differs from scan_steps=1. Ignored while profiling.
     scan_steps: int = 1
+    # persistent XLA compilation cache dir ('' = off): repeat CLI runs
+    # skip the ~30-45 s first compiles (utils/jaxcache.py)
+    jax_cache_dir: str = ""
 
     # ------------------------------------------------------------------
     @property
@@ -235,6 +238,9 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              ">1 amortizes host dispatch overhead at small "
                              "batch sizes (e.g. 16 at --batch_size 512); "
                              "per-step training semantics are unchanged")
+    parser.add_argument("--jax_cache_dir", type=str, default="",
+                        help="persistent XLA compilation cache directory; "
+                             "repeat runs skip the first-compile cost")
     return parser
 
 

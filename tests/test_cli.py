@@ -173,3 +173,31 @@ def test_masks_trivial_fallback(tmp_path):
     m = np.asarray(Image.open(os.path.join(root, "masks",
                                            "00000.png.png")))
     assert m.shape == (12, 16) and (m > 0).all()  # all static
+
+
+def test_jax_cache_dir_populates(tmp_path):
+    """--jax_cache_dir enables the persistent XLA compilation cache
+    (utils/jaxcache.py): after a jitted program runs, the dir holds
+    content-addressed executables that later processes load instead of
+    recompiling."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
+
+    cache = tmp_path / "xla_cache"
+    enable_compilation_cache(str(cache))
+    try:
+        # unique shape so the entry is new even if other tests compiled
+        x = jnp.ones((137, 61))
+        float(jax.jit(lambda a: jnp.tanh(a @ a.T).sum())(x))
+        assert cache.is_dir()
+        # min_compile_time_secs=0.5 may skip tiny CPU programs; the
+        # config being applied is the contract
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    # '' is a documented no-op (default)
+    enable_compilation_cache("")
+    assert jax.config.jax_compilation_cache_dir is None

@@ -31,7 +31,9 @@ def main(cfg):
 
     from nsff_pl_tpu.parallel import make_mesh
     from nsff_pl_tpu.training.trainer import NSFFSystem
+    from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
 
+    enable_compilation_cache(cfg.jax_cache_dir)
     mesh = None
     if cfg.num_gpus > 1:
         n = min(cfg.num_gpus, len(jax.devices()))
