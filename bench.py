@@ -22,6 +22,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_A100_RAYS_PER_SEC = 15000.0
@@ -186,30 +187,76 @@ def _retry(fn, attempts: int = 3, tag: str = ""):
             time.sleep(5)
 
 
-def main():
+def _stage_main(stage: str):
+    """Child-process entry: run ONE measurement and print its result as
+    the last stdout line (`STAGE_RESULT {...}`)."""
     import warnings
 
     warnings.filterwarnings("ignore")
-    try:
-        render_rps = _retry(measure_render, tag="render")
-        print(f"# render (test-time, pallas auto): {render_rps:,.0f} rays/s",
+    if stage == "render":
+        rps = _retry(measure_render, tag="render")
+        print(f"STAGE_RESULT {json.dumps({'rays_per_sec': rps})}", flush=True)
+    elif stage.startswith("batch:"):
+        bs = int(stage.split(":", 1)[1])
+        rays_s, loss = _retry(lambda: measure(bs), tag=f"batch={bs}")
+        print(f"STAGE_RESULT "
+              f"{json.dumps({'rays_per_sec': rays_s, 'loss': loss})}",
               flush=True)
-    except Exception as e:
-        print(f"# render bench failed: {type(e).__name__}", flush=True)
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+
+
+def _run_stage(stage: str, timeout_s: int = 1500):
+    """Run one measurement in a subprocess with a hard timeout.
+
+    The axon tunnel can HANG (not fail) at first device use — e.g. when a
+    previous session's grant has not been released — and an in-process
+    hang is uninterruptible (the fetch blocks in C). Subprocess isolation
+    keeps one wedged stage from zeroing every other measurement; JAX is
+    only imported in children, so the parent cannot hang."""
+    import subprocess
+    import sys
+
+    argv = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    if os.environ.get("NSFF_BENCH_STAGE_CMD"):  # harness self-test hook
+        argv = [sys.executable, "-c", os.environ["NSFF_BENCH_STAGE_CMD"]]
+    try:
+        p = subprocess.run(argv, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# stage {stage}: TIMED OUT after {timeout_s}s "
+              f"(wedged TPU tunnel?)", flush=True)
+        return None
+    for line in p.stdout.splitlines():
+        if not line.startswith("STAGE_RESULT "):
+            if line.strip():
+                print(line, flush=True)
+            continue
+        return json.loads(line[len("STAGE_RESULT "):])
+    tail = (p.stderr or "").strip().splitlines()
+    print(f"# stage {stage}: failed rc={p.returncode} "
+          f"({tail[-1][:200] if tail else 'no stderr'})", flush=True)
+    return None
+
+
+def main():
+    r = _run_stage("render")
+    if r is not None:
+        print(f"# render (test-time, pallas auto): "
+              f"{r['rays_per_sec']:,.0f} rays/s", flush=True)
     best = 0.0
     best_cfg = None
     rows = {}
     for bs in (512, 2048, 8192):
-        try:
-            rays_s, loss = _retry(lambda bs=bs: measure(bs),
-                                  tag=f"batch={bs}")
-            print(f"# batch={bs}: {rays_s:,.0f} rays/s (loss {loss:.3f})",
-                  flush=True)
-            rows[f"batch{bs}_rays_per_sec"] = round(rays_s, 1)
-            if rays_s > best:
-                best, best_cfg = rays_s, bs
-        except Exception as e:  # OOM at large batch etc.
-            print(f"# batch={bs} failed: {type(e).__name__}", flush=True)
+        r = _run_stage(f"batch:{bs}")
+        if r is None:
+            continue
+        rays_s, loss = r["rays_per_sec"], r["loss"]
+        print(f"# batch={bs}: {rays_s:,.0f} rays/s (loss {loss:.3f})",
+              flush=True)
+        rows[f"batch{bs}_rays_per_sec"] = round(rays_s, 1)
+        if rays_s > best:
+            best, best_cfg = rays_s, bs
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),
@@ -247,4 +294,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _stage_main(sys.argv[2])
+    else:
+        main()
