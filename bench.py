@@ -279,10 +279,6 @@ def main():
             # (recompute + dW + dh) bwd at S=128; ~20.7 TFLOP at batch 8192
             "kernel_floor_ms_batch8192": 121.0,  # kernels-only floor incl.
             # in-kernel plane bridges (docs/ARCHITECTURE.md profile)
-            "measured_device_ms_batch8192": round(
-                8192 / rows.get("batch8192_rays_per_sec", best) * 1000, 1),
-            "pct_of_kernel_floor": round(100 * 121.0 / (
-                8192 / rows.get("batch8192_rays_per_sec", best) * 1000), 1),
             "a100_baseline_rays_per_sec": BASELINE_A100_RAYS_PER_SEC,
             "a100_baseline_derivation": (
                 "reference publishes no throughput numbers (BASELINE.md); "
@@ -290,6 +286,13 @@ def main():
                 "for the reference's chunked torch pipeline => ~15k rays/s "
                 "(2080Ti anecdotes run 2-4k)"),
         }
+        # floor comparison only makes sense at the batch the floor was
+        # profiled at — omit rather than mislabel if that stage failed
+        if "batch8192_rays_per_sec" in rows:
+            dev_ms = 8192 / rows["batch8192_rays_per_sec"] * 1000
+            out["floor"]["measured_device_ms_batch8192"] = round(dev_ms, 1)
+            out["floor"]["pct_of_kernel_floor"] = round(
+                100 * 121.0 / dev_ms, 1)
     print(json.dumps(out))
 
 

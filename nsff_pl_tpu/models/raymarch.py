@@ -32,6 +32,27 @@ from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
 from nsff_pl_tpu.ops.sampling import stratified_zs
 
 
+LANE_REASON = "N_samples not a multiple of the 128 TPU lane width"
+
+
+def planar_unapplicable_reasons(cfg: RenderConfig, output_transient: bool,
+                                output_transient_flow) -> list:
+    """Why the planar path does NOT cover this configuration (empty list
+    = applicable). One implementation owns both the decision and the
+    user-facing explanation (the trainer's loud-fallback message)."""
+    flow = tuple(output_transient_flow)
+    reasons = []
+    if not (cfg.encode_t and output_transient):
+        reasons.append("no transient branch")
+    if cfg.N_importance != 0:
+        reasons.append("N_importance > 0 (coarse-to-fine)")
+    if not ("fw" in flow and "bw" in flow):
+        reasons.append("fw+bw flows not both requested")
+    if jax.default_backend() != "cpu" and cfg.N_samples % 128 != 0:
+        reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+    return reasons
+
+
 def planar_applicable(cfg: RenderConfig, output_transient: bool,
                       output_transient_flow) -> bool:
     """The planar path covers exactly the flagship train configuration.
@@ -41,12 +62,8 @@ def planar_applicable(cfg: RenderConfig, output_transient: bool,
     only lower in Mosaic when the minor dim stays lane-aligned (S=32
     fails with an unsupported tpu.reshape). Other sample counts fall back
     to the packed-boundary kernels."""
-    flow = tuple(output_transient_flow)
-    lanes_ok = (jax.default_backend() == "cpu"
-                or cfg.N_samples % 128 == 0)
-    return (cfg.encode_t and output_transient
-            and cfg.N_importance == 0
-            and "fw" in flow and "bw" in flow and lanes_ok)
+    return not planar_unapplicable_reasons(cfg, output_transient,
+                                           output_transient_flow)
 
 
 def _shard_planar(fn, mesh):

@@ -22,6 +22,7 @@ vmap where needed.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -402,6 +403,54 @@ def _jit_rolls_planar(mode: str, kx_range, ky_range):
     return jax.jit(f)
 
 
+def _bucket_groups(ext, S: int) -> dict:
+    """Per-plane bucketed (kx_range, ky_range) from probed extrema; None
+    keys mark planes beyond the largest bucket (scatter fallback)."""
+    groups: dict = {}
+    for i in range(S):
+        rx = _axis_range(ext[i, 0], ext[i, 1])
+        ry = _axis_range(ext[i, 2], ext[i, 3])
+        key = (rx, ry) if (rx and ry) else None
+        groups.setdefault(key, []).append(i)
+    return groups
+
+
+def _splat_groups(groups: dict, S: int, splat_fn, scatter_fn, arrays):
+    """Splat each bucketed plane group and reassemble in original order
+    with ONE inverse-permutation gather (a per-plane python stack costs
+    hundreds of eager dispatches). Group plane counts are padded to
+    powers of two so repeated calls reuse compiled shapes.
+
+    `splat_fn(rx, ry, *group_arrays)` handles a bucketed group;
+    `scatter_fn(*group_arrays)` handles over-range planes. `arrays` are
+    per-plane arrays indexed on axis 0. Shared by the channels-last and
+    planar batched splats — one implementation of the grouping
+    machinery."""
+    import numpy as np
+
+    if len(groups) == 1 and None not in groups:
+        (rx, ry), _ = next(iter(groups.items()))
+        return splat_fn(rx, ry, *arrays)
+    parts, order = [], []
+    for key, idx_list in groups.items():
+        idx = np.asarray(idx_list)
+        g = [a[idx] for a in arrays]
+        if key is None:
+            o = scatter_fn(*g)
+        else:
+            pad = _next_pow2(len(idx)) - len(idx)
+            if pad:
+                g = [jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                    for a in g]
+            o = splat_fn(key[0], key[1], *g)[:len(idx)]
+        parts.append(o)
+        order.extend(idx.tolist())
+    inv = np.empty(S, np.int64)
+    inv[np.asarray(order)] = np.arange(S)
+    return jnp.concatenate(parts, 0)[jnp.asarray(inv)]
+
+
 def softsplat_batched_planar(images: jnp.ndarray, fx: jnp.ndarray,
                              fy: jnp.ndarray,
                              mode: str = "average") -> jnp.ndarray:
@@ -421,39 +470,18 @@ def softsplat_batched_planar(images: jnp.ndarray, fx: jnp.ndarray,
     if not S:
         return images
     ext = np.asarray(_probe_planar(fx, fy))
-    groups: dict = {}
-    for i in range(S):
-        rx = _axis_range(ext[i, 0], ext[i, 1])
-        ry = _axis_range(ext[i, 2], ext[i, 3])
-        key = (rx, ry) if (rx and ry) else None
-        groups.setdefault(key, []).append(i)
-    if len(groups) == 1 and None not in groups:
-        (rx, ry), _ = next(iter(groups.items()))
-        return _jit_rolls_planar(mode, rx, ry)(images, fx, fy)
-    # per-group splats reassembled with ONE inverse-permutation gather
-    # (a per-plane python stack costs hundreds of eager dispatches)
-    parts, order = [], []
-    for key, idx_list in groups.items():
-        idx = np.asarray(idx_list)
-        im_g, fx_g, fy_g = images[idx], fx[idx], fy[idx]
-        if key is None:
-            o = _jit_scatter(mode)(
-                im_g.transpose(0, 2, 3, 1),
-                jnp.stack([fx_g, fy_g], -1)).transpose(0, 3, 1, 2)
-        else:
-            pad = _next_pow2(len(idx)) - len(idx)
-            if pad:
-                im_g, fx_g, fy_g = (
-                    jnp.concatenate(
-                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-                    for a in (im_g, fx_g, fy_g))
-            o = _jit_rolls_planar(mode, key[0], key[1])(
-                im_g, fx_g, fy_g)[:len(idx)]
-        parts.append(o)
-        order.extend(idx.tolist())
-    inv = np.empty(S, np.int64)
-    inv[np.asarray(order)] = np.arange(S)
-    return jnp.concatenate(parts, 0)[jnp.asarray(inv)]
+
+    def splat(rx, ry, im, fx_, fy_):
+        return _jit_rolls_planar(mode, rx, ry)(im, fx_, fy_)
+
+    def scatter(im, fx_, fy_):  # over-range planes: exact scatter
+        # (transposed through the channels-last kernel)
+        return _jit_scatter(mode)(
+            im.transpose(0, 2, 3, 1),
+            jnp.stack([fx_, fy_], -1)).transpose(0, 3, 1, 2)
+
+    return _splat_groups(_bucket_groups(ext, S), S, splat, scatter,
+                         (images, fx, fy))
 
 
 def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
@@ -484,12 +512,17 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
 
     if max_disp is not None and rolls_ok:
         if concrete and flows.size:
-            actual = float(jnp.max(jnp.abs(flows)))
-            if actual > max_disp:
-                raise ValueError(
-                    f"softsplat_batched: max_disp={max_disp} but "
-                    f"max |flow| = {actual:.3f} — the shift decomposition "
-                    f"would drop splat mass (see softsplat_sum_rolls)")
+            # caller-contract validation costs one blocking device fetch
+            # (~30 ms/call over a tunneled backend); eager hot loops that
+            # guarantee the bound themselves can disable it
+            if os.environ.get("NSFF_SPLAT_VALIDATE", "1") != "0":
+                actual = float(jnp.max(jnp.abs(flows)))
+                if actual > max_disp:
+                    raise ValueError(
+                        f"softsplat_batched: max_disp={max_disp} but "
+                        f"max |flow| = {actual:.3f} — the shift "
+                        f"decomposition would drop splat mass (see "
+                        f"softsplat_sum_rolls)")
             D = int(max_disp)
             return _jit_rolls(mode, (-D, D + 1), (-D, D + 1))(images, flows)
         return _rolls_with_mode(images, flows, mode, max_disp)
@@ -503,41 +536,14 @@ def softsplat_batched(images: jnp.ndarray, flows: jnp.ndarray,
         # widths, so measuring x and y separately pays off quadratically
         # on directional motion)
         ext = np.asarray(_probe_cl(flows))
-        # per plane: bucketed (kx_range, ky_range) or None -> scatter
-        groups: dict = {}
-        for i in range(S):
-            rx = _axis_range(ext[i, 0], ext[i, 1])
-            ry = _axis_range(ext[i, 2], ext[i, 3])
-            key = (rx, ry) if (rx and ry) else None
-            groups.setdefault(key, []).append(i)
-        if len(groups) == 1 and None not in groups:
-            (rx, ry), _ = next(iter(groups.items()))
-            return _jit_rolls(mode, rx, ry)(images, flows)
+        groups = _bucket_groups(ext, S)
         if any(k is not None for k in groups):
-            # see softsplat_batched_planar: one inverse-permutation
-            # gather instead of a per-plane python stack
-            parts, order = [], []
-            for key, idx_list in groups.items():
-                idx = np.asarray(idx_list)
-                im_g, fl_g = images[idx], flows[idx]
-                if key is None:
-                    o = _jit_scatter(mode)(im_g, fl_g)
-                else:
-                    pad = _next_pow2(len(idx)) - len(idx)
-                    if pad:
-                        im_g = jnp.concatenate(
-                            [im_g, jnp.zeros((pad,) + im_g.shape[1:],
-                                             im_g.dtype)])
-                        fl_g = jnp.concatenate(
-                            [fl_g, jnp.zeros((pad,) + fl_g.shape[1:],
-                                             fl_g.dtype)])
-                    o = _jit_rolls(mode, key[0], key[1])(
-                        im_g, fl_g)[:len(idx)]
-                parts.append(o)
-                order.extend(idx.tolist())
-            inv = np.empty(S, np.int64)
-            inv[np.asarray(order)] = np.arange(S)
-            return jnp.concatenate(parts, 0)[jnp.asarray(inv)]
+            def splat(rx, ry, im, fl):
+                return _jit_rolls(mode, rx, ry)(im, fl)
+
+            return _splat_groups(groups, S, splat, _jit_scatter(mode),
+                                 (images, flows))
+        # every plane over-range: keep the historical vmap scatter
 
     fn = lambda im, fl: softsplat(im, fl, metric, mode)  # noqa: E731
     return jax.vmap(fn)(images, flows)

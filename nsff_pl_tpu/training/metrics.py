@@ -118,6 +118,38 @@ _LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def _lpips_features(params, x):
+    taps = []
+    for (w, b), (_, stride, pad, pool) in zip(params["convs"], _ALEX_CONVS):
+        if pool:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                "VALID")
+        x = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jax.nn.relu(x + b.reshape(1, -1, 1, 1))
+        taps.append(x)
+    return taps
+
+
+def _lpips_distance(params, a, b):
+    """a, b: (1, 3, H, W) in [0, 1] -> (H, W) spatial LPIPS map."""
+    H, W = a.shape[-2:]
+    # normalize=True maps [0,1] -> [-1,1], then the scaling layer
+    a = (2.0 * a - 1.0 - params["shift"]) / params["scale"]
+    b = (2.0 * b - 1.0 - params["shift"]) / params["scale"]
+    total = jnp.zeros((H, W), jnp.float32)
+    for fa, fb, lin in zip(_lpips_features(params, a),
+                           _lpips_features(params, b), params["lins"]):
+        na = fa * jax.lax.rsqrt(jnp.sum(fa * fa, 1, keepdims=True) + 1e-10)
+        nb = fb * jax.lax.rsqrt(jnp.sum(fb * fb, 1, keepdims=True) + 1e-10)
+        d = (na - nb) ** 2
+        m = jnp.sum(d * lin.reshape(1, -1, 1, 1), 1)  # (1, h, w)
+        total = total + jax.image.resize(m[0], (H, W), "bilinear")
+    return total
+
+
 class JaxLPIPS:
     """AlexNet-LPIPS (spatial variant) in pure JAX from a user-supplied
     state dict — the architecture of the reference's `third_party/lpips`
@@ -127,44 +159,18 @@ class JaxLPIPS:
     the input size and sum."""
 
     def __init__(self, weights: dict):
-        self.convs = [(jnp.asarray(w), jnp.asarray(b))
-                      for w, b in weights["convs"]]
-        self.lins = [jnp.asarray(w) for w in weights["lins"]]
-        self.shift = jnp.asarray(weights["shift"]).reshape(1, 3, 1, 1)
-        self.scale = jnp.asarray(weights["scale"]).reshape(1, 3, 1, 1)
-        self._fn = jax.jit(self._distance)
-
-    def _features(self, x):
-        taps = []
-        for (w, b), (_, stride, pad, pool) in zip(self.convs, _ALEX_CONVS):
-            if pool:
-                x = jax.lax.reduce_window(
-                    x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
-                    "VALID")
-            x = jax.lax.conv_general_dilated(
-                x, w, (stride, stride), [(pad, pad), (pad, pad)],
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))
-            x = jax.nn.relu(x + b.reshape(1, -1, 1, 1))
-            taps.append(x)
-        return taps
-
-    def _distance(self, a, b):
-        """a, b: (1, 3, H, W) in [0, 1] -> (H, W) spatial LPIPS map."""
-        H, W = a.shape[-2:]
-        # normalize=True maps [0,1] -> [-1,1], then the scaling layer
-        a = (2.0 * a - 1.0 - self.shift) / self.scale
-        b = (2.0 * b - 1.0 - self.shift) / self.scale
-        total = jnp.zeros((H, W), jnp.float32)
-        for fa, fb, lin in zip(self._features(a), self._features(b),
-                               self.lins):
-            na = fa * jax.lax.rsqrt(
-                jnp.sum(fa * fa, 1, keepdims=True) + 1e-10)
-            nb = fb * jax.lax.rsqrt(
-                jnp.sum(fb * fb, 1, keepdims=True) + 1e-10)
-            d = (na - nb) ** 2
-            m = jnp.sum(d * lin.reshape(1, -1, 1, 1), 1)  # (1, h, w)
-            total = total + jax.image.resize(m[0], (H, W), "bilinear")
-        return total
+        # the ~2.4M AlexNet params ride as jit ARGUMENTS (device buffers),
+        # never as baked closure constants — a captured weight set would
+        # be re-serialized into every compiled program (the tunneled
+        # remote-compile POST has a size limit; see CLAUDE.md)
+        self.params = {
+            "convs": [(jnp.asarray(w), jnp.asarray(b))
+                      for w, b in weights["convs"]],
+            "lins": [jnp.asarray(w) for w in weights["lins"]],
+            "shift": jnp.asarray(weights["shift"]).reshape(1, 3, 1, 1),
+            "scale": jnp.asarray(weights["scale"]).reshape(1, 3, 1, 1),
+        }
+        self._fn = jax.jit(_lpips_distance)
 
     def __call__(self, image_gt, image_pred):
         """(H, W, 3) in [0, 1] each -> (H, W) numpy LPIPS map."""
@@ -172,7 +178,7 @@ class JaxLPIPS:
             .transpose(2, 0, 1)[None]
         b = jnp.asarray(np.asarray(image_pred), jnp.float32) \
             .transpose(2, 0, 1)[None]
-        return np.asarray(self._fn(a, b))
+        return np.asarray(self._fn(self.params, a, b))
 
 
 def load_lpips_weights(path: str) -> "JaxLPIPS":

@@ -22,4 +22,4 @@ def enable_compilation_cache(path: str) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything: even sub-second programs add up over the eval
     # CLI's many small jits, and entries are content-addressed
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

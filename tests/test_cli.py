@@ -192,9 +192,9 @@ def test_jax_cache_dir_populates(tmp_path):
         x = jnp.ones((137, 61))
         float(jax.jit(lambda a: jnp.tanh(a @ a.T).sum())(x))
         assert cache.is_dir()
-        # min_compile_time_secs=0.5 may skip tiny CPU programs; the
-        # config being applied is the contract
         assert jax.config.jax_compilation_cache_dir == str(cache)
+        # min_compile_time_secs=0: even tiny programs get cached
+        assert any(cache.iterdir())
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
 
