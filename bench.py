@@ -266,6 +266,13 @@ def main():
         "vs_baseline": round(best / BASELINE_A100_RAYS_PER_SEC, 3),
     }
     out.update(rows)
+    if not best:
+        # value 0 means the TPU was unreachable, not a perf collapse —
+        # say so in the recorded artifact (the axon tunnel can wedge at
+        # PJRT client init when a previous session's grant is unreleased)
+        out["error"] = ("all train stages failed or timed out — TPU "
+                        "unreachable (wedged tunnel?); see prior "
+                        "BENCH_r*.json for last measured numbers")
     # speed-of-light context (measured in docs/ARCHITECTURE.md; VERDICT r2
     # asked for the floor + baseline derivation to ride with the number):
     # the step's per-ray work is fixed by the reference's 3x-evaluation
