@@ -158,3 +158,38 @@ def test_sharded_full_image_render_matches(mlp_backend):
     for k in ("rgb_fine", "depth_fine"):
         np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_sharded_render_view_dir_override_matches():
+    """`--fix_view_dir` under a mesh: the view_dir override shards
+    alongside the rays (training/step.py::make_render_fn) and matches the
+    single-device render."""
+    from nsff_pl_tpu.training.step import make_render_fn, render_full_image
+
+    key = jax.random.PRNGKey(0)
+    params = {"nerf_fine": nerf_m.init_nerf_params(
+        key, "fine", use_viewdir=True)}
+    rcfg = RenderConfig(N_samples=8, use_viewdir=True, img_wh=(16, 12))
+    rng = np.random.RandomState(1)
+    n = 64
+    rays = np.zeros((n, 6), np.float32)
+    rays[:, 0:2] = rng.rand(n, 2) * 2 - 1
+    rays[:, 2] = -1.0
+    rays[:, 3:5] = (rng.rand(n, 2) - 0.5) * 0.4
+    rays[:, 5] = 2.0
+    rays = jnp.asarray(rays)
+    vd = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+
+    def run(mesh):
+        render = make_render_fn(rcfg, test_time=True,
+                                output_transient=False,
+                                keys=("rgb_fine",), mesh=mesh)
+        return render_full_image(render, params, rays, None,
+                                 jax.random.PRNGKey(1), chunk=16,
+                                 view_dir=vd)
+
+    r1 = run(None)
+    r2 = run(make_mesh(8))
+    np.testing.assert_allclose(np.asarray(r1["rgb_fine"]),
+                               np.asarray(r2["rgb_fine"]),
+                               rtol=1e-5, atol=1e-6)
