@@ -193,3 +193,66 @@ def test_sharded_render_view_dir_override_matches():
     np.testing.assert_allclose(np.asarray(r1["rgb_fine"]),
                                np.asarray(r2["rgb_fine"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_scan_dispatch_under_mesh_matches_unsharded():
+    """K-step scan dispatch (--scan_steps) composed with a data mesh
+    (--num_gpus): the grouped sharded step must reproduce the grouped
+    UNSHARDED step exactly — scan changes only the dispatch pattern and
+    the mesh only the placement."""
+    import optax
+
+    from nsff_pl_tpu.models.rendering import RenderConfig
+    from nsff_pl_tpu.training.loss import LossConfig
+    from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+    n_frames, n_pixels, bs, K = 4, 256, 32, 3
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = {
+        "nerf_fine": nerf_m.init_nerf_params(
+            ks[0], "fine", use_viewdir=True, encode_transient=True,
+            in_channels_t=48, output_flow=True),
+        "embedding_t": nerf_m.init_embedding(ks[1], n_frames, 48),
+    }
+    cfg = RenderConfig(N_samples=8, N_importance=0, perturb=1.0,
+                       noise_std=1.0, use_viewdir=True, encode_t=True,
+                       max_t=n_frames - 1, img_wh=(16, 16))
+    rng = np.random.RandomState(0)
+    table = rng.rand(n_frames, n_pixels, 16).astype(np.float32)
+    table[..., 9] = np.arange(n_frames, dtype=np.float32)[:, None]
+    table = jnp.asarray(table)
+    weights = jnp.ones(table.shape[:2], jnp.float32)
+    Ks = jnp.asarray(np.array([[[20, 0, 8], [0, 20, 8], [0, 0, 1]]],
+                              np.float32))
+    Ps = jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32),
+                             (1, n_frames, 1, 1)))
+    tx = optax.adam(1e-3)
+    kw = dict(output_transient=True,
+              output_transient_flow=("fw", "bw", "disocc"),
+              steps_per_epoch=2, batch_size=bs, hard_sampling=False,
+              donate=False, scan_steps=K)
+    ts = jnp.asarray([1, 2, 0])
+    root = jax.random.PRNGKey(7)
+    tmp0 = jnp.zeros((1, 1, 3))
+
+    def run(mesh):
+        stepK = make_train_step(cfg, LossConfig(max_t=n_frames - 1), tx,
+                                mesh=mesh, **kw)
+        state0 = TrainState(params, tx.init(params),
+                            jnp.zeros((), jnp.int32))
+        state, _, m = stepK(state0, tmp0, table, weights, Ks, Ps, root, ts)
+        return state, m
+
+    s1, m1 = run(None)
+    s2, m2 = run(make_mesh(8))
+    np.testing.assert_allclose(np.asarray(m2["loss"]),
+                               np.asarray(m1["loss"]), rtol=1e-5)
+    # sharded gradient reductions reorder f32 sums; over 3 chained Adam
+    # steps the rsqrt(v) amplifies ~1e-7 grad deltas on near-zero-v
+    # entries to O(lr * 1e-2) updates on isolated elements. The per-step
+    # LOSSES matching at 1e-5 carries the semantic equivalence; the
+    # end-state params get the correspondingly looser band
+    for p1, p2 in zip(jax.tree.leaves(s1.params),
+                      jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=2e-3, atol=5e-5)
