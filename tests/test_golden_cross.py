@@ -238,3 +238,155 @@ def test_importer_roundtrips_through_merge(tmp_path):
     w_loaded = np.asarray(loaded["nerf_fine"]["static_rgb"]["w"])
     assert np.allclose(np.asarray(merged["nerf_fine"]["static_rgb"]["w"]),
                        w_loaded)
+
+
+# ---------------------------------------------------------------------------
+# train-time golden: 3-frame scene-flow warping + disocclusion
+# ---------------------------------------------------------------------------
+
+def _np_static_tower(sd, xyz_emb, dir_emb):
+    relu = lambda v: np.maximum(v, 0.0)  # noqa: E731
+    sigmoid = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+
+    def L(name, v):
+        return v @ sd[f"nerf_fine.{name}.weight"].T \
+            + sd[f"nerf_fine.{name}.bias"]
+
+    h = xyz_emb
+    for i in range(D):
+        if i == 4:
+            h = np.concatenate([xyz_emb, h], -1)
+        h = relu(L(f"static_xyz_encoding_{i+1}.0", h))
+    sigma = L("static_sigma", h)[:, 0]
+    feat = L("static_xyz_encoding_final", h)
+    feat = relu(L("static_dir_encoding.0",
+                  np.concatenate([feat, dir_emb], -1)))
+    return sigmoid(L("static_rgb.0", feat)), sigma
+
+
+def _np_transient_tower(sd, xyz_emb, t_rows, flows=("fw", "bw")):
+    relu = lambda v: np.maximum(v, 0.0)  # noqa: E731
+    sigmoid = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+
+    def L(name, v):
+        return v @ sd[f"nerf_fine.{name}.weight"].T \
+            + sd[f"nerf_fine.{name}.bias"]
+
+    inp = np.concatenate([xyz_emb, t_rows], -1)
+    h = inp
+    for i in range(D):
+        if i == 4:
+            h = np.concatenate([inp, h], -1)
+        h = relu(L(f"transient_xyz_encoding_{i+1}.0", h))
+    feat = L("transient_xyz_encoding_final", h)
+    out = {"sigma": L("transient_sigma", feat)[:, 0],
+           "rgb": sigmoid(L("transient_rgb.0", feat))}
+    for f in flows:
+        out[f] = FLOW_SCALE * np.tanh(L(f"transient_flow_{f}.0", feat))
+    return out
+
+
+def test_warped_render_matches_reference_equations(tmp_path):
+    """Train-time golden for the 3-frame scene-flow warping path
+    (`rendering.py:98-140` render_transient_warping, call sites
+    `:217-232`, disocclusion `:289-295`): rgb_fw/rgb_bw composite the
+    warped transient field (t±1 embeddings, flow-displaced xyz) against
+    the CURRENT static field sharing one warped transmittance; disocc
+    maps are 1-|Σ(warped_w - w)|. Asserted against an independent f64
+    NumPy re-derivation, perturb=0 noise=0."""
+    from nsff_pl_tpu.models.rendering import RenderConfig, render_rays
+    from nsff_pl_tpu.training.checkpoint import import_pl_checkpoint
+
+    rng = np.random.RandomState(11)
+    ckpt = os.path.join(str(tmp_path), "synthetic_warp.ckpt")
+    sd = make_torch_ckpt(ckpt, rng)
+    params = import_pl_checkpoint(ckpt)
+
+    n, s = 12, 16
+    rays_o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    rays_o[:, 2] = -1.0
+    rays_d = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    rays_d[:, 2] = 2.0
+    rays = jnp.asarray(np.concatenate([rays_o, rays_d], -1))
+    ts_np = rng.randint(0, N_FRAMES, (n,))
+    ts = jnp.asarray(ts_np, jnp.int32)
+
+    cfg = RenderConfig(N_samples=s, N_importance=0, perturb=0.0,
+                       noise_std=0.0, use_viewdir=True, encode_t=True,
+                       N_tau=N_TAU, max_t=N_FRAMES - 1, img_wh=(16, 16))
+    out = render_rays(
+        {"fine": params["nerf_fine"]}, {"t": params["embedding_t"]},
+        rays, ts, jax.random.PRNGKey(0), cfg, test_time=False,
+        output_transient=True, output_transient_flow=("fw", "bw", "disocc"))
+
+    # ---- independent f64 derivation --------------------------------
+    softplus = lambda v: np.log1p(np.exp(-np.abs(v))) + np.maximum(v, 0)  # noqa: E731
+    zs = np.broadcast_to(
+        np.linspace(0, 1, s), (n, s)).astype(np.float64)
+    xyz = rays_o.astype(np.float64)[:, None] \
+        + rays_d.astype(np.float64)[:, None] * zs[..., None]
+    far = (zs.reshape(-1) > Z_FAR)[:, None]
+
+    xyz_emb = np_posenc(xyz.reshape(-1, 3), N_EMB_XYZ, S_EMB_XYZ)
+    dir_emb = np.repeat(
+        np_posenc(rays_d.astype(np.float64), N_EMB_DIR, S_EMB_DIR), s, 0)
+    emb_t = sd["embedding_t.weight"]
+    t_rows = np.repeat(emb_t[ts_np], s, axis=0)
+
+    static_rgbs, static_sigma = _np_static_tower(sd, xyz_emb, dir_emb)
+    static_rgbs = static_rgbs.reshape(n, s, 3)
+    tr = _np_transient_tower(sd, xyz_emb, t_rows)
+    flows_fw = np.where(far, 0.0, tr["fw"]).reshape(n, s, 3)
+    flows_bw = np.where(far, 0.0, tr["bw"]).reshape(n, s, 3)
+
+    deltas = zs[:, 1:] - zs[:, :-1]
+    s_deltas = np.concatenate([deltas, 100 * np.ones_like(zs[:, :1])], -1)
+    t_deltas = np.concatenate([deltas, 1e-3 * np.ones_like(zs[:, :1])], -1)
+    static_alphas = 1 - np.exp(
+        -s_deltas * softplus(static_sigma.reshape(n, s)))
+    transient_alphas = 1 - np.exp(
+        -t_deltas * softplus(tr["sigma"].reshape(n, s)))
+    alphas = 1 - (1 - static_alphas) * (1 - transient_alphas)
+    trans = np.cumprod(np.concatenate(
+        [np.ones_like(alphas[:, :1]), 1 - alphas[:, :-1]], -1), -1)
+    transient_weights = transient_alphas * trans
+
+    def warped(xyz_w, t_idx, flow_out):
+        """rendering.py:98-140: warped transient + CURRENT static."""
+        emb_rows = np.repeat(emb_t[t_idx], s, axis=0)
+        xw_emb = np_posenc(xyz_w.reshape(-1, 3), N_EMB_XYZ, S_EMB_XYZ)
+        trw = _np_transient_tower(sd, xw_emb, emb_rows, flows=(flow_out,))
+        flows_w = np.where(far, 0.0, trw[flow_out]).reshape(n, s, 3)
+        ta_w = 1 - np.exp(-t_deltas * softplus(trw["sigma"].reshape(n, s)))
+        a_w = 1 - (1 - static_alphas) * (1 - ta_w)
+        tr_w = np.cumprod(np.concatenate(
+            [np.ones_like(a_w[:, :1]), 1 - a_w[:, :-1]], -1), -1)
+        sw_w = static_alphas * tr_w
+        tw_w = ta_w * tr_w
+        rgb_w = (sw_w[..., None] * static_rgbs).sum(1) \
+            + (tw_w[..., None] * trw["rgb"].reshape(n, s, 3)).sum(1)
+        return rgb_w, flows_w, tw_w
+
+    xyz_fw = xyz + flows_fw
+    rgb_fw, flows_fw_bw, tw_fw = warped(
+        xyz_fw, np.minimum(ts_np + 1, N_FRAMES - 1), "bw")
+    xyz_bw = xyz + flows_bw
+    rgb_bw, flows_bw_fw, tw_bw = warped(
+        xyz_bw, np.maximum(ts_np - 1, 0), "fw")
+
+    disocc_fw = 1 - np.abs((tw_fw - transient_weights).sum(1))[:, None]
+    disocc_bw = 1 - np.abs((tw_bw - transient_weights).sum(1))[:, None]
+
+    np.testing.assert_allclose(np.asarray(out["rgb_fw"]), rgb_fw, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["rgb_bw"]), rgb_bw, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["xyzs_fw_bw"]),
+                               xyz_fw + flows_fw_bw, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["xyzs_bw_fw"]),
+                               xyz_bw + flows_bw_fw, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["disocc_fw"]), disocc_fw,
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["disocc_bw"]), disocc_bw,
+                               atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["disoccs_fw"]),
+        1 - np.abs(tw_fw - transient_weights)[..., None], atol=5e-4)
