@@ -15,8 +15,6 @@ per-frame + mean PSNR/SSIM/LPIPS tables saved as .npy
 """
 import argparse
 import os
-from collections import defaultdict
-
 import numpy as np
 
 

@@ -23,7 +23,7 @@ Weights are stored as (fan_in, fan_out) so application is `x @ W + b`
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ in tests/test_planar_path.py.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

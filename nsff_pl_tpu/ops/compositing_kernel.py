@@ -26,7 +26,6 @@ differentiated (like `need_dxyz=False` in the MLP kernels).
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ and broadcasts to samples inside VMEM.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsff_pl_tpu.models import nerf as nerf_m
 from nsff_pl_tpu.ops.posenc import posenc_freqs
 
 DEFAULT_BLOCK_ROWS = 2048

@@ -23,7 +23,7 @@ transposed selector), 128-aligned segments, packed transient heads.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

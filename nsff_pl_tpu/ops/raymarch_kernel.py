@@ -28,7 +28,7 @@ there and in `ops/mlp_kernel.py`.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

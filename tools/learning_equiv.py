@@ -19,8 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(backend: str, root: str, args) -> float:
-    import jax
-
+    
     from nsff_pl_tpu.config import NSFFConfig
     from nsff_pl_tpu.training.trainer import NSFFSystem
 
