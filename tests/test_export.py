@@ -64,3 +64,30 @@ def test_export_roundtrip(trained):
     assert rgb.shape == (64, 3) and depth.shape == (64,)
     assert np.isfinite(np.asarray(rgb)).all()
     assert (np.asarray(rgb) >= -1e-5).all() and (np.asarray(rgb) <= 1 + 1e-5).all()
+
+
+def test_export_multi_platform(trained):
+    """--platforms cpu tpu cross-lowers one artifact servable on both
+    (exported here on the CPU host, still callable on CPU)."""
+    from tools import export_render
+
+    ckpt, tmp = trained
+    out = os.path.join(tmp, "render_xplat.nsffx")
+    export_render.main(export_render.get_opts([
+        "--ckpt_path", ckpt, "--out", out, "--chunk", "32",
+        "--img_wh", "32", "24", "--N_samples", "8", "--encode_t",
+        "--N_tau", "8", "--N_frames", "3",
+        "--platforms", "cpu", "tpu"]))
+    meta = json.load(open(out + ".json"))
+    assert set(meta["platforms"]) == {"cpu", "tpu"}
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    rt = jexport.deserialize(open(out, "rb").read())
+    rgb, depth = rt.call(jnp.zeros((32, 6)).at[:, 2].set(-1.0)
+                         .at[:, 5].set(2.0),
+                         jnp.zeros((32,), jnp.int32))
+    assert rgb.shape == (32, 3)
+    assert np.isfinite(np.asarray(rgb)).all()

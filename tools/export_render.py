@@ -58,6 +58,11 @@ def get_opts(argv=None):
                    choices=["xla", "auto", "pallas"],
                    help="xla (default) exports a portable StableHLO blob; "
                         "pallas ties the artifact to the mosaic runtime")
+    p.add_argument("--platforms", nargs="+", type=str, default=None,
+                   help="lowering platforms baked into the artifact, e.g. "
+                        "'--platforms cpu tpu' cross-lowers a TPU-servable "
+                        "artifact from a CPU host (default: the current "
+                        "backend only)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--check", default=False, action="store_true",
@@ -122,7 +127,7 @@ def main(args):
 
     rays_spec = jax.ShapeDtypeStruct((args.chunk, 6), jnp.float32)
     ts_spec = jax.ShapeDtypeStruct((args.chunk,), jnp.int32)
-    exp = jexport.export(serve)(rays_spec, ts_spec)
+    exp = jexport.export(serve, platforms=args.platforms)(rays_spec, ts_spec)
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
