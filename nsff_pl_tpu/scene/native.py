@@ -1,9 +1,10 @@
 """ctypes bindings for the native (C++) scene-loading kernels.
 
-The shared library (`native/ray_table.cpp`) is built lazily on first use
-with the system g++ (no external deps) and cached next to the source.
-Everything degrades to the pure-Python path when no compiler is available
-— `available()` gates usage.
+The shared library (`nsff_pl_tpu/native/ray_table.cpp`, shipped with the
+package) is built lazily on first use with the system g++ (no external
+deps) and cached next to the source. Everything degrades to the
+pure-Python path when no compiler is available (or the install dir is
+read-only) — `available()` gates usage.
 """
 from __future__ import annotations
 
@@ -14,8 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libnsff_native.so")
 _lib = None
 _tried = False

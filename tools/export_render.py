@@ -120,7 +120,7 @@ def main(args):
         N_importance=args.N_importance, encode_a=args.encode_a,
         N_a=args.N_a, encode_t=args.encode_t, N_tau=args.N_tau,
         flow_scale=args.flow_scale)
-    from eval import load_params
+    from nsff_pl_tpu.apps.evaluate import load_params
 
     params = load_params(args, cfg)
     serve = build_serve_fn(args, params)

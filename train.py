@@ -1,69 +1,12 @@
 #!/usr/bin/env python
-"""Train an NSFF model — CLI-compatible with the reference `train.py`.
+"""Repo-root shim for reference CLI parity (`python train.py ...`).
 
-    python train.py --root_dir <scene> --img_wh 512 288 --start_end 0 30 \
-        --encode_t --use_viewdir --N_samples 128 --num_epochs 50 \
-        --batch_size 512 --lr 5e-4 --lr_scheduler cosine --exp_name exp
-
-Differences from the reference (`train.py:277-319`): instead of Lightning
-DDP over `--num_gpus` GPUs, multi-chip training shards the ray batch over a
-`jax.sharding.Mesh` spanning `--num_gpus` TPU chips (flag name kept for
-CLI parity).
+The implementation lives in `nsff_pl_tpu.apps.train` (installed as the
+`nsff-train` console script).
 """
-import os
-
-from nsff_pl_tpu.config import get_opts
-
-
-def backup_files(cfg, files):
-    """--debug: snapshot numerically-sensitive files (train.py:306-311)."""
-    import shutil
-
-    backup_dir = os.path.join("files_backup", cfg.exp_name)
-    os.makedirs(backup_dir, exist_ok=True)
-    for f in files:
-        if os.path.exists(f):
-            shutil.copy(f, backup_dir)
-
-
-def main(cfg):
-    import jax
-
-    from nsff_pl_tpu.parallel import make_mesh
-    from nsff_pl_tpu.training.trainer import NSFFSystem
-    from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
-
-    enable_compilation_cache(cfg.jax_cache_dir)
-    mesh = None
-    if cfg.num_gpus > 1:
-        n = min(cfg.num_gpus, len(jax.devices()))
-        mesh = make_mesh(n)
-        print(f"mesh: {n} chips, data-parallel over rays")
-
-    system = NSFFSystem(cfg, mesh=mesh)
-    print(f"scene: {system.train_scene.N_frames} frames "
-          f"{cfg.img_wh[0]}x{cfg.img_wh[1]}; "
-          f"{system.steps_per_epoch} steps/epoch x {cfg.num_epochs} epochs")
-    if cfg.dtype == "float32" and jax.devices()[0].platform != "cpu":
-        # same silent-cliff policy as the planar-fallback warning: the
-        # default matches the reference's f32 training, but on TPU the
-        # flagship recipe runs the MLP matmuls in bf16 at ~2.5x the
-        # throughput (measured 20.8k -> 52.7k rays/s at batch 512)
-        print("note: training in float32 — pass --dtype bfloat16 for the "
-              "TPU recipe (~2.5x faster; see docs/ROADMAP.md)")
-    if (cfg.scan_steps == 1 and cfg.batch_size <= 2048
-            and jax.devices()[0].platform != "cpu"):
-        # per-dispatch host round trips dominate small batches; the TPU
-        # recipe amortizes them (measured 52.4k -> 60.3k rays/s at 512)
-        print("note: --scan_steps 1 — pass e.g. --scan_steps 32 to "
-              "amortize per-step dispatch overhead at small batch sizes")
-    system.fit(log_every=max(cfg.refresh_every, 1) * 50)
-
+from nsff_pl_tpu.apps.train import (  # noqa: F401
+    backup_files, cli, main)
+from nsff_pl_tpu.config import get_opts  # noqa: F401
 
 if __name__ == "__main__":
-    cfg = get_opts()
-    if cfg.debug:
-        backup_files(cfg, ["nsff_pl_tpu/models/nerf.py",
-                           "nsff_pl_tpu/models/rendering.py",
-                           "nsff_pl_tpu/training/loss.py", "train.py"])
-    main(cfg)
+    cli()
