@@ -53,7 +53,10 @@ def _losses(workdir, exp):
     return [(r["step"], r["train/loss"]) for r in rows if "train/loss" in r]
 
 
-def test_multiprocess_training_matches_single_process(tmp_path):
+def _run_pair(tmp_path, extra_flags, port_offset=0):
+    """One single-process 4-device run + one 2-process x 2-device run of
+    the same training command; returns (sp_losses, mp_losses, mp_outs,
+    mp_dir)."""
     from tests.helpers_scene import make_synthetic_scene
 
     scene = str(tmp_path / "scene")
@@ -63,7 +66,7 @@ def test_multiprocess_training_matches_single_process(tmp_path):
     single_dir = tmp_path / "single"
     single_dir.mkdir()
     out = subprocess.run(
-        _train_cmd(scene, "sp", ["--num_gpus", "4"]),
+        _train_cmd(scene, "sp", ["--num_gpus", "4"] + extra_flags),
         cwd=str(single_dir), env=_env(4), capture_output=True, text=True,
         timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
@@ -71,19 +74,27 @@ def test_multiprocess_training_matches_single_process(tmp_path):
     # the same global mesh partitioned over 2 processes x 2 devices
     mp_dir = tmp_path / "mp"
     mp_dir.mkdir()
-    port = 29800 + os.getpid() % 100
+    port = 29800 + (os.getpid() + port_offset) % 100
     dist_flags = ["--num_gpus", "2", "--num_nodes", "2",
                   "--coordinator_address", f"localhost:{port}"]
     procs = [subprocess.Popen(
-        _train_cmd(scene, "mp", dist_flags + ["--node_rank", str(r)]),
+        _train_cmd(scene, "mp",
+                   dist_flags + ["--node_rank", str(r)] + extra_flags),
         cwd=str(mp_dir), env=_env(2), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for r in range(2)]
     outs = [p.communicate(timeout=900)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
 
-    # identical SPMD program -> identical per-step losses
     sp = _losses(str(single_dir), "sp")
     mp = _losses(str(mp_dir), "mp")
+    return sp, mp, outs, mp_dir
+
+
+def test_multiprocess_training_matches_single_process(tmp_path):
+    sp, mp, outs, mp_dir = _run_pair(tmp_path, [])
+    scene = str(tmp_path / "scene")
+
+    # identical SPMD program -> identical per-step losses
     assert len(sp) == len(mp) > 0
     np.testing.assert_allclose([v for _, v in mp], [v for _, v in sp],
                                rtol=1e-5, atol=1e-6)
@@ -113,3 +124,20 @@ def test_multiprocess_training_matches_single_process(tmp_path):
                          timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "restored at step" in out.stdout
+
+
+def test_multiprocess_keeps_pallas_kernel_path(tmp_path):
+    """The shard_map'ed Pallas train kernels survive a MULTI-PROCESS mesh
+    (interpret mode on CPU): forcing --train_backend pallas, the
+    2-process run must match the single-process 4-device run step for
+    step. (The single-process sharded-vs-unsharded kernel equivalence is
+    tests/test_sharding.py; this pins the cross-process case.)"""
+    sp, mp, _, _ = _run_pair(
+        tmp_path, ["--train_backend", "pallas", "--fused_train", "off"],
+        port_offset=17)
+    assert len(sp) == len(mp) > 0
+    # pallas dW accumulators are f32 but block partitioning changes the
+    # reduction order slightly between mesh layouts; same tolerance as
+    # tests/test_sharding.py
+    np.testing.assert_allclose([v for _, v in mp], [v for _, v in sp],
+                               rtol=2e-4, atol=2e-5)
