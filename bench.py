@@ -273,6 +273,19 @@ def main():
         out["error"] = ("all train stages failed or timed out — TPU "
                         "unreachable (wedged tunnel?); see prior "
                         "BENCH_r*.json for last measured numbers")
+        # the most recent REAL v5e measurements of this tree, taken
+        # before the outage (reproduction commands in docs/ROADMAP.md
+        # round-3 entries) — labeled as such, NOT this run's values
+        out["last_measured_v5e"] = {
+            "note": "measured on real v5e before the tunnel outage "
+                    "(docs/ROADMAP.md 'Done (round 3)'); this run could "
+                    "not reach the TPU",
+            "batch8192_rays_per_sec": 64100.0,
+            "batch512_rays_per_sec": 60300.0,
+            "train_py_end_to_end_batch512_rays_per_sec": 58100.0,
+            "vs_baseline": 4.27,
+            "interp_s_per_frame": 0.36,
+        }
     # speed-of-light context (measured in docs/ARCHITECTURE.md; VERDICT r2
     # asked for the floor + baseline derivation to ride with the number):
     # the step's per-ray work is fixed by the reference's 3x-evaluation
