@@ -57,6 +57,11 @@ def get_opts(argv=None):
              "frame, so novel spiral views don't extrapolate view-dependent "
              "color (the reference ships this disabled as a commented-out "
              "block, `eval.py:192-193`; opt-in here)")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="render compute dtype; bfloat16 enables the "
+                             "fused Pallas eval kernels on TPU (float32 "
+                             "matches the reference's eval numerics)")
     parser.add_argument("--video_format", type=str, default="mp4",
                         choices=["mp4", "gif"])
     parser.add_argument("--fps", type=int, default=10)
@@ -154,7 +159,8 @@ def main(args):
         start_end=(args.start_end[0], args.start_end[0] + n_frames),
         use_viewdir=args.use_viewdir, N_samples=args.N_samples,
         N_importance=args.N_importance, encode_a=args.encode_a, N_a=args.N_a,
-        encode_t=args.encode_t, N_tau=args.N_tau, flow_scale=args.flow_scale)
+        encode_t=args.encode_t, N_tau=args.N_tau, flow_scale=args.flow_scale,
+        dtype=getattr(args, "dtype", "float32"))
     params = load_params(args, cfg)
     rcfg = render_config(cfg)
 

@@ -100,3 +100,17 @@ def test_eval_spiral_fix_view_dir(trained, capsys):
     assert "fix_view_dir" in capsys.readouterr().out
     for f in ("000.png", "t4.gif"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_eval_dtype_flag(trained):
+    """--dtype bfloat16 renders through the low-precision compute path
+    (the TPU-recipe eval; the reference evaluates f32-only) and lands
+    within bf16 resolution of the f32 metrics."""
+    scene, ckpt, tmp = trained
+    out32 = _run_eval(scene, ckpt, tmp, "test", "tdt32")
+    out16 = _run_eval(scene, ckpt, tmp, "test", "tdt16",
+                      ("--dtype", "bfloat16"))
+    p32 = np.load(os.path.join(out32, "psnr.npy"))[:, 0]
+    p16 = np.load(os.path.join(out16, "psnr.npy"))[:, 0]
+    assert np.isfinite(p16).all()
+    assert np.max(np.abs(p32 - p16)) < 0.5  # bf16 rounding only

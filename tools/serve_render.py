@@ -55,6 +55,10 @@ def get_opts(argv=None):
                         help="skip the startup render that pays the jit "
                              "compile before the first request")
     parser.add_argument("--jax_cache_dir", type=str, default="")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="render compute dtype; bfloat16 enables the "
+                             "fused Pallas eval kernels on TPU")
     return parser.parse_args(argv)
 
 
@@ -89,7 +93,8 @@ class RenderService:
             use_viewdir=args.use_viewdir, N_samples=args.N_samples,
             N_importance=args.N_importance, encode_a=args.encode_a,
             N_a=args.N_a, encode_t=args.encode_t, N_tau=args.N_tau,
-            flow_scale=args.flow_scale)
+            flow_scale=args.flow_scale,
+            dtype=getattr(args, "dtype", "float32"))
         self.cfg = cfg
         params = load_params(args, cfg)
 
