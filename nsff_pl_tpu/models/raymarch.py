@@ -71,7 +71,7 @@ def _shard_planar(fn, mesh):
     planes) shard on the leading axis, weights replicate. Mirrors
     `rendering._shard_over_rays` (pallas custom calls don't auto-partition
     under GSPMD)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     from nsff_pl_tpu.parallel.mesh import DATA_AXIS
@@ -79,7 +79,7 @@ def _shard_planar(fn, mesh):
     ray = PS(DATA_AXIS)
     return shard_map(fn, mesh=mesh,
                      in_specs=(PS(), ray, ray, ray, ray, ray, ray, ray),
-                     out_specs=ray, check_rep=False)
+                     out_specs=ray, check_vma=False)
 
 
 def render_train_planar(
@@ -197,14 +197,14 @@ def render_train_planar(
             comp_in[f"trgb_w2_{c}"] = out_w2[f"trgb_{c}"]
         compositor = make_planar_compositor(S)
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as PS
 
             from nsff_pl_tpu.parallel.mesh import DATA_AXIS
 
             compositor = shard_map(
                 compositor, mesh=mesh, in_specs=(PS(DATA_AXIS),),
-                out_specs=PS(DATA_AXIS), check_rep=False)
+                out_specs=PS(DATA_AXIS), check_vma=False)
         comp = compositor(comp_in)
         sw = comp["static_weights"]
         tw = comp["transient_weights"]

@@ -110,10 +110,10 @@ def _shard_over_rays(fn, mesh):
     replicate. Pallas custom calls don't auto-partition under GSPMD, so
     this is what keeps the kernels alive multi-chip (docs/ROADMAP.md).
 
-    check_rep=False is required (custom_vjp has no replication rule); the
+    check_vma=False is required (custom_vjp has no replication rule); the
     shard_map transpose still psums the replicated params' cotangent, so
     gradients match the unsharded path (tests/test_sharding.py)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     from nsff_pl_tpu.parallel.mesh import DATA_AXIS
@@ -121,20 +121,20 @@ def _shard_over_rays(fn, mesh):
     ray = PS(DATA_AXIS)
     return shard_map(fn, mesh=mesh,
                      in_specs=(PS(), ray, ray, ray, ray),
-                     out_specs=ray, check_rep=False)
+                     out_specs=ray, check_vma=False)
 
 
 def _shard_comp(fn, mesh):
     """shard_map the fused compositing kernel over the data mesh (no
     replicated operands, so no transpose-psum subtleties)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     from nsff_pl_tpu.parallel.mesh import DATA_AXIS
 
     ray = PS(DATA_AXIS)
     return shard_map(fn, mesh=mesh, in_specs=(ray, ray, ray, ray),
-                     out_specs=ray, check_rep=False)
+                     out_specs=ray, check_vma=False)
 
 
 def _expand(v, n_samples: int):
