@@ -31,29 +31,40 @@ import numpy as np
 class FrameScheduler:
     """Temporal anti-correlation frame sampling (`monocular.py:222-232`).
 
-    Consecutive batches come from frames >= `window`+1 apart so the static
-    field does not absorb dynamics. The reference runs one scheduler per
-    DataLoader worker; here a single stream drives the (synchronous) train
-    loop.
+    The reference runs 4 DataLoader worker processes, each holding its own
+    `last_t`; the global batch stream is their round-robin interleave, so
+    the ±`window` exclusion applies per worker stream, not between
+    globally consecutive batches (`train.py:156-160` num_workers=4,
+    `monocular.py:225` "for EACH worker"). `num_streams` emulates exactly
+    that: stream i = the reference's worker i, served round-robin. One
+    shared RandomState stands in for the workers' independent RNGs —
+    identical in distribution since draws are independent across streams.
+    `num_streams=1` gives the strictly-stronger single-stream rule (every
+    consecutive pair > window apart).
     """
 
-    def __init__(self, n_frames: int, window: int = 5, seed: int = 42):
+    def __init__(self, n_frames: int, window: int = 5, seed: int = 42,
+                 num_streams: int = 4):
         self.n_frames = n_frames
         self.window = window
         self.rng = np.random.RandomState(seed)
-        self.last_t = -1
+        self.last_ts = [-1] * max(1, int(num_streams))
+        self._turn = 0
 
     def next(self) -> int:
-        if self.last_t == -1:
+        s = self._turn % len(self.last_ts)
+        self._turn += 1
+        last = self.last_ts[s]
+        if last == -1:
             t = int(self.rng.choice(self.n_frames))
         else:
             valid = list(set(range(self.n_frames))
-                         - set(range(self.last_t - self.window,
-                                     self.last_t + self.window + 1)))
+                         - set(range(last - self.window,
+                                     last + self.window + 1)))
             if not valid:  # tiny scenes: fall back to uniform
                 valid = list(range(self.n_frames))
             t = int(self.rng.choice(valid))
-        self.last_t = t
+        self.last_ts[s] = t
         return t
 
 

@@ -8,11 +8,77 @@ from nsff_pl_tpu.data.pipeline import FrameScheduler, RayBatcher
 
 
 def test_scheduler_respects_window():
-    """Consecutive frames must be > window apart (monocular.py:222-232)."""
-    sched = FrameScheduler(n_frames=30, window=5, seed=0)
+    """Per-stream consecutive frames must be > window apart — the
+    reference's per-worker rule (monocular.py:222-232, 'for EACH
+    worker')."""
+    K = 4
+    sched = FrameScheduler(n_frames=30, window=5, seed=0, num_streams=K)
+    ts = [sched.next() for _ in range(400)]
+    for s in range(K):
+        stream = ts[s::K]
+        for a, b in zip(stream, stream[1:]):
+            assert abs(a - b) > 5
+
+
+def test_scheduler_single_stream_window():
+    """num_streams=1 keeps the strictly-stronger global rule."""
+    sched = FrameScheduler(n_frames=30, window=5, seed=0, num_streams=1)
     ts = [sched.next() for _ in range(200)]
     for a, b in zip(ts, ts[1:]):
         assert abs(a - b) > 5
+
+
+def test_scheduler_matches_reference_worker_semantics():
+    """The 4-stream scheduler's frame-visit and per-stream-gap
+    distributions match an explicit simulation of the reference's 4
+    independent DataLoader workers (monocular.py:222-232 +
+    train.py:156-160) — VERDICT r3 weak #4.
+    """
+    N, W, K, STEPS = 30, 5, 4, 40000
+
+    # explicit reference simulation: K forked workers, each its own RNG
+    # and last_t, batches interleaved round-robin by the DataLoader
+    def ref_stream():
+        rngs = [np.random.RandomState(100 + i) for i in range(K)]
+        last = [-1] * K
+        out = []
+        for i in range(STEPS):
+            s = i % K
+            if last[s] == -1:
+                t = int(rngs[s].choice(N))
+            else:
+                valid = list(set(range(N))
+                             - set(range(last[s] - W, last[s] + W + 1)))
+                t = int(rngs[s].choice(valid))
+            last[s] = t
+            out.append(t)
+        return np.asarray(out)
+
+    sched = FrameScheduler(n_frames=N, window=W, seed=7, num_streams=K)
+    ours = np.asarray([sched.next() for _ in range(STEPS)])
+    ref = ref_stream()
+
+    # frame-visit distribution: both concentrate visits at the ends (the
+    # window excludes fewer candidates there); compare histograms
+    h_ours = np.bincount(ours, minlength=N) / STEPS
+    h_ref = np.bincount(ref, minlength=N) / STEPS
+    assert np.abs(h_ours - h_ref).max() < 0.01, (h_ours, h_ref)
+
+    # per-stream gap distribution (|t_i - t_{i-1}| within a stream)
+    def gaps(ts):
+        g = []
+        for s in range(K):
+            st = ts[s::K]
+            g.extend(np.abs(np.diff(st)).tolist())
+        return np.asarray(g)
+
+    g_ours, g_ref = gaps(ours), gaps(ref)
+    assert g_ours.min() > W and g_ref.min() > W
+    assert abs(g_ours.mean() - g_ref.mean()) < 0.25
+    # globally consecutive batches MAY now be close (different streams),
+    # exactly like the reference's interleaved workers
+    global_gaps = np.abs(np.diff(ours))
+    assert (global_gaps <= W).any()
 
 
 def test_scheduler_tiny_scene_fallback():
