@@ -53,45 +53,57 @@ def _losses(workdir, exp):
     return [(r["step"], r["train/loss"]) for r in rows if "train/loss" in r]
 
 
-def _run_pair(tmp_path, extra_flags, port_offset=0):
-    """One single-process 4-device run + one 2-process x 2-device run of
-    the same training command; returns (sp_losses, mp_losses, mp_outs,
-    mp_dir)."""
+def _mp_run(mp_dir, scene, exp, extra_flags, n_procs, devs_per_proc,
+            port_offset):
+    """Launch `n_procs` real training processes over a global
+    (n_procs * devs_per_proc)-device mesh; returns their stdouts."""
+    port = 29800 + (os.getpid() + port_offset) % 100
+    dist_flags = ["--num_gpus", str(devs_per_proc),
+                  "--num_nodes", str(n_procs),
+                  "--coordinator_address", f"localhost:{port}"]
+    procs = [subprocess.Popen(
+        _train_cmd(scene, exp,
+                   dist_flags + ["--node_rank", str(r)] + extra_flags),
+        cwd=str(mp_dir), env=_env(devs_per_proc), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for r in range(n_procs)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    return outs
+
+
+def _run_pair(tmp_path, extra_flags, port_offset=0, n_procs=2,
+              devs_per_proc=2):
+    """One single-process run over the full (n_procs * devs_per_proc)
+    device mesh + the same run partitioned over `n_procs` processes;
+    returns (sp_losses, mp_losses, mp_outs, mp_dir, single_dir)."""
     from tests.helpers_scene import make_synthetic_scene
 
     scene = str(tmp_path / "scene")
     make_synthetic_scene(scene, W=32, H=24, N=3)
+    n_total = n_procs * devs_per_proc
 
-    # reference run: ONE process over a 4-device mesh
+    # reference run: ONE process over the full mesh
     single_dir = tmp_path / "single"
     single_dir.mkdir()
     out = subprocess.run(
-        _train_cmd(scene, "sp", ["--num_gpus", "4"] + extra_flags),
-        cwd=str(single_dir), env=_env(4), capture_output=True, text=True,
-        timeout=900)
+        _train_cmd(scene, "sp", ["--num_gpus", str(n_total)] + extra_flags),
+        cwd=str(single_dir), env=_env(n_total), capture_output=True,
+        text=True, timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
 
-    # the same global mesh partitioned over 2 processes x 2 devices
+    # the same global mesh partitioned over n_procs processes
     mp_dir = tmp_path / "mp"
     mp_dir.mkdir()
-    port = 29800 + (os.getpid() + port_offset) % 100
-    dist_flags = ["--num_gpus", "2", "--num_nodes", "2",
-                  "--coordinator_address", f"localhost:{port}"]
-    procs = [subprocess.Popen(
-        _train_cmd(scene, "mp",
-                   dist_flags + ["--node_rank", str(r)] + extra_flags),
-        cwd=str(mp_dir), env=_env(2), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for r in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    outs = _mp_run(mp_dir, scene, "mp", extra_flags, n_procs,
+                   devs_per_proc, port_offset)
 
     sp = _losses(str(single_dir), "sp")
     mp = _losses(str(mp_dir), "mp")
-    return sp, mp, outs, mp_dir
+    return sp, mp, outs, mp_dir, single_dir
 
 
 def test_multiprocess_training_matches_single_process(tmp_path):
-    sp, mp, outs, mp_dir = _run_pair(tmp_path, [])
+    sp, mp, outs, mp_dir, _ = _run_pair(tmp_path, [])
     scene = str(tmp_path / "scene")
 
     # identical SPMD program -> identical per-step losses
@@ -126,13 +138,56 @@ def test_multiprocess_training_matches_single_process(tmp_path):
     assert "restored at step" in out.stdout
 
 
+def test_4process_training_and_single_to_multi_restore(tmp_path):
+    """VERDICT r3 weak #6: one notch up from 2 processes. (a) 4 real
+    processes x 2 virtual devices match the single-process 8-device run
+    step for step; (b) the SINGLE-process checkpoint restores into a
+    4-process continuation (the reverse direction of the restore covered
+    by test_multiprocess_training_matches_single_process)."""
+    sp, mp, outs, mp_dir, single_dir = _run_pair(
+        tmp_path, [], port_offset=41, n_procs=4, devs_per_proc=2)
+    scene = str(tmp_path / "scene")
+
+    assert len(sp) == len(mp) > 0
+    np.testing.assert_allclose([v for _, v in mp], [v for _, v in sp],
+                               rtol=1e-5, atol=1e-6)
+    # rank 0 owns the prints on the 4-process mesh too
+    assert "val/psnr" in outs[0]
+    assert all("val/psnr" not in o for o in outs[1:])
+
+    # single -> multi restore: resume the 1-process checkpoint in a
+    # 4-process trainer for a second epoch
+    ckpt_root = single_dir / "ckpts" / "sp"
+    step_dir = sorted(d for d in os.listdir(ckpt_root)
+                      if d.startswith("step_"))[-1]
+    resumed_steps = int(step_dir.split("_")[1])
+    cont_dir = tmp_path / "cont"
+    cont_dir.mkdir()
+    _mp_run(cont_dir, scene, "cont",
+            ["--ckpt_path", str(ckpt_root / step_dir),
+             "--num_epochs", "2"],
+            n_procs=4, devs_per_proc=2, port_offset=57)
+    cont = _losses(str(cont_dir), "cont")
+    assert len(cont) > 0
+    # the continuation starts AT the restored step (rows are logged at
+    # zero-based step index: the first row after restoring step_N is
+    # logged as step N) and stays finite
+    assert min(s for s, _ in cont) == resumed_steps
+    assert all(np.isfinite(v) for _, v in cont)
+    # and it checkpoints at a later step than the restored one
+    cont_root = cont_dir / "ckpts" / "cont"
+    later = [int(d.split("_")[1]) for d in os.listdir(cont_root)
+             if d.startswith("step_")]
+    assert later and max(later) > resumed_steps
+
+
 def test_multiprocess_keeps_pallas_kernel_path(tmp_path):
     """The shard_map'ed Pallas train kernels survive a MULTI-PROCESS mesh
     (interpret mode on CPU): forcing --train_backend pallas, the
     2-process run must match the single-process 4-device run step for
     step. (The single-process sharded-vs-unsharded kernel equivalence is
     tests/test_sharding.py; this pins the cross-process case.)"""
-    sp, mp, _, _ = _run_pair(
+    sp, mp, _, _, _ = _run_pair(
         tmp_path, ["--train_backend", "pallas", "--fused_train", "off"],
         port_offset=17)
     assert len(sp) == len(mp) > 0
