@@ -91,6 +91,10 @@ class NSFFConfig:
     # planar fused train path (dense (N,S) kernel boundaries,
     # models/raymarch.py): 'auto' | 'on' | 'off'
     fused_train: str = "auto"
+    # warp-evaluation subsampling on the planar path: 1 = exact (both
+    # warp directions per ray), 2 = one direction per ray at 2x loss
+    # weight (~25% train FLOP cut; see RenderConfig.warp_subsample)
+    warp_subsample: int = 1
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -242,6 +246,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="planar fused train path (dense-boundary "
                              "kernels; auto = when the Pallas backend "
                              "is active)")
+    parser.add_argument("--warp_subsample", type=int, default=1,
+                        choices=[1, 2],
+                        help="2 = one warp-direction evaluation per ray "
+                             "per step at 2x loss weight (planar path "
+                             "only; ~25%% train FLOP cut, expectation-"
+                             "equal loss)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)

@@ -134,15 +134,27 @@ def render_train_planar(
     # and the transient-only warp forward prefers 4096-row blocks; small
     # batches (<= 1024 rays) measured faster with the smaller blocks
     big = n > 1024
+    ws = cfg.warp_subsample
+    if ws not in (1, 2):
+        raise ValueError(f"warp_subsample must be 1 or 2, got {ws}")
+    if ws == 2 and n % 2:
+        raise ValueError("warp_subsample=2 needs an even ray batch")
     main_op = make_planar_nerf_train(
         S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
         output_flow=("fw", "bw"),
         bwd_block_rows=2048 if big else 1024, **kker)
-    warp_ops = {w: make_planar_nerf_train(
-        S, static_branch=False, flow_in=True, encode_t=True,
-        output_flow=(w,), block_rows=4096 if big else 2048,
-        bwd_block_rows=2048 if big else 1024,
-        **kker) for w in ("fw", "bw")}
+    warp_kw = dict(static_branch=False, flow_in=True, encode_t=True,
+                   block_rows=4096 if big else 2048,
+                   bwd_block_rows=2048 if big else 1024, **kker)
+    if ws == 2:
+        # ONE warp evaluation per ray (see RenderConfig.warp_subsample):
+        # both flow heads so each half can read the opposite direction
+        warp_ops = {"both": make_planar_nerf_train(
+            S, output_flow=("fw", "bw"), **warp_kw)}
+    else:
+        warp_ops = {w: make_planar_nerf_train(S, output_flow=(w,),
+                                              **warp_kw)
+                    for w in ("fw", "bw")}
     if mesh is not None:
         main_op = _shard_planar(main_op, mesh)
         warp_ops = {w: _shard_planar(op, mesh)
@@ -176,8 +188,26 @@ def render_train_planar(
                           for c in ("x", "y", "z"))
         return out, flow_back
 
-    out_w1, flowb_fw = warp_eval(ffw, +1, "bw")
-    out_w2, flowb_bw = warp_eval(fbw, -1, "fw")
+    n2 = n // 2
+    if ws == 2:
+        # rows [0, n/2): fw warp (xyz+flow_fw @ t+1); rows [n/2, n): bw
+        # warp (xyz+flow_bw @ t-1). Batch rows are i.i.d. draws, so the
+        # halves are unbiased samples of each direction.
+        flows_w = tuple(jnp.concatenate([f[:n2], b[n2:]], 0)
+                        for f, b in zip(ffw, fbw))
+        ts_w = jnp.concatenate([jnp.clip(ts[:n2] + 1, 0, cfg.max_t),
+                                jnp.clip(ts[n2:] - 1, 0, cfg.max_t)], 0)
+        t_emb_w = nerf_m.embedding_lookup(embeddings["t"], ts_w)
+        out_w = warp_ops["both"](params_fine, o, d, zs, flows_w, None,
+                                 None, t_emb_w)
+        # cycle consistency needs the OPPOSITE-direction flow at the
+        # warped position: bw for the fw-warped half, fw for the other
+        flow_back = tuple(jnp.where(far, 0.0, jnp.concatenate(
+            [out_w[f"fbw_{c}"][:n2], out_w[f"ffw_{c}"][n2:]], 0))
+            for c in ("x", "y", "z"))
+    else:
+        out_w1, flowb_fw = warp_eval(ffw, +1, "bw")
+        out_w2, flowb_bw = warp_eval(fbw, -1, "fw")
 
     use_ck = (cfg.planar_compositing == "on"
               or (cfg.planar_compositing == "auto"
@@ -187,14 +217,27 @@ def render_train_planar(
         # tau_s); ~25 XLA glue fusions collapse into one read/write of
         # each plane (ops/compositing_planar_kernel.py)
         comp_in = {"zs": zs, "ssig": main["ssig"], "tsig": main["tsig"],
-                   "tsig_w1": out_w1["tsig"], "tsig_w2": out_w2["tsig"],
-                   "ns": noise(k_noise_s), "nt": noise(k_noise_t),
-                   "nw1": noise(k_fw), "nw2": noise(k_bw)}
+                   "ns": noise(k_noise_s), "nt": noise(k_noise_t)}
         for c in "rgb":
             comp_in[f"srgb_{c}"] = main[f"srgb_{c}"]
             comp_in[f"trgb_{c}"] = main[f"trgb_{c}"]
-            comp_in[f"trgb_w1_{c}"] = out_w1[f"trgb_{c}"]
-            comp_in[f"trgb_w2_{c}"] = out_w2[f"trgb_{c}"]
+        if ws == 2:
+            # the single warp evaluation rides the w1 slot; w2 gets the
+            # same planes and its outputs are discarded (their cotangents
+            # are zero, so no gradient doubling). The duplicate composite
+            # costs ~0.1 ms of a 0.34 ms kernel — not worth a variant.
+            nw = noise(k_fw)
+            comp_in.update(tsig_w1=out_w["tsig"], tsig_w2=out_w["tsig"],
+                           nw1=nw, nw2=nw)
+            for c in "rgb":
+                comp_in[f"trgb_w1_{c}"] = out_w[f"trgb_{c}"]
+                comp_in[f"trgb_w2_{c}"] = out_w[f"trgb_{c}"]
+        else:
+            comp_in.update(tsig_w1=out_w1["tsig"], tsig_w2=out_w2["tsig"],
+                           nw1=noise(k_fw), nw2=noise(k_bw))
+            for c in "rgb":
+                comp_in[f"trgb_w1_{c}"] = out_w1[f"trgb_{c}"]
+                comp_in[f"trgb_w2_{c}"] = out_w2[f"trgb_{c}"]
         compositor = make_planar_compositor(S)
         if mesh is not None:
             from jax import shard_map
@@ -209,12 +252,16 @@ def render_train_planar(
         sw = comp["static_weights"]
         tw = comp["transient_weights"]
         w = comp["weights"]
-        tw_fw, tw_bw = comp["tw_w1"], comp["tw_w2"]
         maps = comp["maps"]
         res["rgb_fine"] = maps[:, 0:3]
         res["depth_fine"] = maps[:, 3]
-        res["rgb_fw"] = maps[:, 4:7]
-        res["rgb_bw"] = maps[:, 7:10]
+        if ws == 2:
+            res["rgb_w"] = maps[:, 4:7]
+            tw_w = comp["tw_w1"]
+        else:
+            tw_fw, tw_bw = comp["tw_w1"], comp["tw_w2"]
+            res["rgb_fw"] = maps[:, 4:7]
+            res["rgb_bw"] = maps[:, 7:10]
     else:
         d_s, d_t = cp.deltas_from_zs(zs)
         tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s))
@@ -246,16 +293,27 @@ def render_train_planar(
                  for sc, c in zip(srgb, "rgb")], -1)
             return rgb_w, tw_w
 
-        res["rgb_fw"], tw_fw = warp_composite(out_w1, k_fw)
-        res["rgb_bw"], tw_bw = warp_composite(out_w2, k_bw)
+        if ws == 2:
+            res["rgb_w"], tw_w = warp_composite(out_w, k_fw)
+        else:
+            res["rgb_fw"], tw_fw = warp_composite(out_w1, k_fw)
+            res["rgb_bw"], tw_bw = warp_composite(out_w2, k_bw)
 
     res["static_weights"] = sw
     res["transient_weights"] = tw
     res["weights"] = w
-    res["xyzs_fw_bw"] = tuple(x + f for x, f in zip(res["xyzs_fw"],
-                                                    flowb_fw))
-    res["xyzs_bw_fw"] = tuple(x + f for x, f in zip(res["xyzs_bw"],
-                                                    flowb_bw))
+    if ws == 2:
+        # per-ray single-warp cycle planes: the warped-position base is
+        # xyz+flow_fw for the first half, xyz+flow_bw for the second
+        xyz_warp = tuple(jnp.concatenate([f[:n2], b[n2:]], 0)
+                         for f, b in zip(res["xyzs_fw"], res["xyzs_bw"]))
+        res["xyzs_wb"] = tuple(x + fb for x, fb in zip(xyz_warp,
+                                                       flow_back))
+    else:
+        res["xyzs_fw_bw"] = tuple(x + f for x, f in zip(res["xyzs_fw"],
+                                                        flowb_fw))
+        res["xyzs_bw_fw"] = tuple(x + f for x, f in zip(res["xyzs_bw"],
+                                                        flowb_bw))
 
     # composited flow expectations (`rendering.py:280-287`)
     res["xyz_fine"] = jnp.stack([jnp.sum(w * x, -1) for x in xyz], -1)
@@ -265,10 +323,15 @@ def render_train_planar(
     res["xyz_bw"] = res["xyz_fine"] + flow_bw_map
 
     # disocclusion = 1 - |sum(warped_w - w)|, stop-grad (`rendering.py:289-295`)
-    occ_fw = jax.lax.stop_gradient(tw_fw - tw)
-    occ_bw = jax.lax.stop_gradient(tw_bw - tw)
-    res["disocc_fw"] = 1.0 - jnp.abs(jnp.sum(occ_fw, -1, keepdims=True))
-    res["disocc_bw"] = 1.0 - jnp.abs(jnp.sum(occ_bw, -1, keepdims=True))
-    res["disoccs_fw"] = 1.0 - jnp.abs(occ_fw)
-    res["disoccs_bw"] = 1.0 - jnp.abs(occ_bw)
+    if ws == 2:
+        occ_w = jax.lax.stop_gradient(tw_w - tw)
+        res["disocc_w"] = 1.0 - jnp.abs(jnp.sum(occ_w, -1, keepdims=True))
+        res["disoccs_w"] = 1.0 - jnp.abs(occ_w)
+    else:
+        occ_fw = jax.lax.stop_gradient(tw_fw - tw)
+        occ_bw = jax.lax.stop_gradient(tw_bw - tw)
+        res["disocc_fw"] = 1.0 - jnp.abs(jnp.sum(occ_fw, -1, keepdims=True))
+        res["disocc_bw"] = 1.0 - jnp.abs(jnp.sum(occ_bw, -1, keepdims=True))
+        res["disoccs_fw"] = 1.0 - jnp.abs(occ_fw)
+        res["disoccs_bw"] = 1.0 - jnp.abs(occ_bw)
     return res

@@ -87,6 +87,17 @@ class RenderConfig:
     # N_importance == 0); 'on' forces it (CPU interpret for tests),
     # 'off' keeps the reference-shaped path.
     fused_train: str = "auto"
+    # warp-evaluation subsampling (planar train path only). The exact
+    # algorithm evaluates the transient tower at BOTH warped positions
+    # (xyz+flow_fw @ t+1 and xyz+flow_bw @ t-1) for every ray — 2 of the
+    # ~4 tower evaluations per step (`rendering.py:217-232`). With
+    # warp_subsample=2, each ray gets ONE warp evaluation per step
+    # (first half of the batch forward, second half backward; batch rows
+    # are i.i.d. so the halves are unbiased samples) and the fw/bw loss
+    # terms are computed on their half at 2x weight — expectation equals
+    # the exact loss. ~25% FLOP cut; learning-equivalence is measured,
+    # not assumed (tools/learning_equiv.py --warp_subsample).
+    warp_subsample: int = 1
     # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
     # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
     # selector-matmul posenc + packed transient heads) measures 1.34x

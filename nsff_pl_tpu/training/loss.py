@@ -264,25 +264,50 @@ def compute_losses_planar(
                           results["xyz_bw"], batch, cfg, lambda_geo,
                           Ks, Ps)
 
-    # photometric warping loss (losses.py:126-133)
-    pho_l = (results["disocc_fw"] * (results["rgb_fw"] - rgbs) ** 2
-             / jnp.mean(results["disocc_fw"]))
-    pho_l = pho_l + (results["disocc_bw"] * (results["rgb_bw"] - rgbs) ** 2
-                     / jnp.mean(results["disocc_bw"]))
-    ret["pho_l"] = jnp.mean(pho_l, -1)
-
-    # cycle consistency (losses.py:135-141): mean over (S, 3) of
-    # disoccs * |xyz_fw_bw - xyz| == sum_c of plane products / (3*S)
     S = tw.shape[1]
-    cyc_abs_fw = sum(jnp.abs(a - b) for a, b in zip(results["xyzs_fw_bw"],
-                                                    results["xyzs"]))
-    cyc_abs_bw = sum(jnp.abs(a - b) for a, b in zip(results["xyzs_bw_fw"],
-                                                    results["xyzs"]))
-    cyc_l = (results["disoccs_fw"] * cyc_abs_fw
-             / jnp.mean(results["disoccs_fw"])
-             + results["disoccs_bw"] * cyc_abs_bw
-             / jnp.mean(results["disoccs_bw"]))
-    ret["cyc_l"] = jnp.sum(cyc_l, -1) / (3 * S)
+    if "rgb_w" in results:
+        # warp-subsampled path (RenderConfig.warp_subsample=2): each ray
+        # carries ONE warp direction (first half fw, second half bw), so
+        # the fw statistics come from the first half and the bw from the
+        # second, each term at 2x weight — the batch-expectation equals
+        # the exact fw+bw loss (rows are i.i.d. draws). The per-direction
+        # disocc normalizers (losses.py:129-140) are per-half means.
+        n2 = rgbs.shape[0] // 2
+        dw = results["disocc_w"]  # (N, 1)
+        pho = dw * (results["rgb_w"] - rgbs) ** 2
+        pho = jnp.concatenate([pho[:n2] / jnp.mean(dw[:n2]),
+                               pho[n2:] / jnp.mean(dw[n2:])], 0)
+        ret["pho_l"] = 2.0 * jnp.mean(pho, -1)
+
+        cyc_abs = sum(jnp.abs(a - b) for a, b in zip(results["xyzs_wb"],
+                                                     results["xyzs"]))
+        dws = results["disoccs_w"]  # (N, S)
+        cyc = dws * cyc_abs
+        cyc = jnp.concatenate([cyc[:n2] / jnp.mean(dws[:n2]),
+                               cyc[n2:] / jnp.mean(dws[n2:])], 0)
+        ret["cyc_l"] = 2.0 * jnp.sum(cyc, -1) / (3 * S)
+    else:
+        # photometric warping loss (losses.py:126-133)
+        pho_l = (results["disocc_fw"] * (results["rgb_fw"] - rgbs) ** 2
+                 / jnp.mean(results["disocc_fw"]))
+        pho_l = pho_l + (results["disocc_bw"]
+                         * (results["rgb_bw"] - rgbs) ** 2
+                         / jnp.mean(results["disocc_bw"]))
+        ret["pho_l"] = jnp.mean(pho_l, -1)
+
+        # cycle consistency (losses.py:135-141): mean over (S, 3) of
+        # disoccs * |xyz_fw_bw - xyz| == sum_c of plane products / (3*S)
+        cyc_abs_fw = sum(jnp.abs(a - b)
+                         for a, b in zip(results["xyzs_fw_bw"],
+                                         results["xyzs"]))
+        cyc_abs_bw = sum(jnp.abs(a - b)
+                         for a, b in zip(results["xyzs_bw_fw"],
+                                         results["xyzs"]))
+        cyc_l = (results["disoccs_fw"] * cyc_abs_fw
+                 / jnp.mean(results["disoccs_fw"])
+                 + results["disoccs_bw"] * cyc_abs_bw
+                 / jnp.mean(results["disoccs_bw"]))
+        ret["cyc_l"] = jnp.sum(cyc_l, -1) / (3 * S)
 
     n_near = int(S * Z_FAR)  # static slice (losses.py:143-146)
     # minor-dim (lane) slices of dense (N, S) planes force XLA layout

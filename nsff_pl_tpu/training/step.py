@@ -115,6 +115,13 @@ def make_train_step(
                   and (render_cfg.fused_train == "on"
                        or (render_cfg.fused_train == "auto"
                            and pallas_active)))
+    if render_cfg.warp_subsample > 1 and not use_planar:
+        raise ValueError(
+            f"warp_subsample={render_cfg.warp_subsample} is only "
+            f"implemented on the planar fused train path"
+            + (f" (unavailable here: {'; '.join(reasons)})" if reasons
+               else " (enable it: fused_train='on'/'auto' with the "
+                    "Pallas train backend)"))
     if not applicable and render_cfg.fused_train in ("on", "auto"):
         # the planar fused path is ~20% faster than the packed kernels at
         # the flagship recipe; make the fallback loud instead of silent

@@ -135,7 +135,8 @@ def render_config(cfg: NSFFConfig) -> RenderConfig:
         N_emb_dir=cfg.N_emb_dir, S_emb_dir=cfg.S_emb_dir,
         img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype,
         mlp_backend=cfg.mlp_backend, train_backend=cfg.train_backend,
-        fused_train=cfg.fused_train, N_tau=cfg.N_tau, N_a=cfg.N_a)
+        fused_train=cfg.fused_train, N_tau=cfg.N_tau, N_a=cfg.N_a,
+        warp_subsample=cfg.warp_subsample)
 
 
 class NSFFSystem:

@@ -310,3 +310,115 @@ def test_planar_compositor_kernel_under_mesh():
     for k in ("weights", "rgb_fine", "rgb_fw", "rgb_bw", "depth_fine"):
         np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+def test_warp_subsample_halves_match_exact():
+    """warp_subsample=2 (one warp direction per ray): with deterministic
+    sampling, the fw half must reproduce the exact path's fw quantities
+    and the bw half the exact bw ones, bit-for-bit up to float tolerance;
+    the fw/bw loss terms become the 2x-weighted per-half statistics and
+    all main-eval terms are untouched."""
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    cfg = dataclasses.replace(cfg, perturb=0.0, noise_std=0.0)
+    cfg2 = dataclasses.replace(cfg, warp_subsample=2)
+    key = jax.random.PRNGKey(3)
+    models, emb = _split(params)
+    n2 = batch["rays"].shape[0] // 2
+
+    res1 = render_train_planar(models["fine"], emb, batch["rays"],
+                               batch["ts"], key, cfg)
+    res2 = render_train_planar(models["fine"], emb, batch["rays"],
+                               batch["ts"], key, cfg2)
+
+    def close(a, b, tol=1e-5):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+    # warped quantities: half-for-half against the exact evaluation
+    close(res2["rgb_w"][:n2], res1["rgb_fw"][:n2])
+    close(res2["rgb_w"][n2:], res1["rgb_bw"][n2:])
+    close(res2["disocc_w"][:n2], res1["disocc_fw"][:n2])
+    close(res2["disocc_w"][n2:], res1["disocc_bw"][n2:])
+    close(res2["disoccs_w"][:n2], res1["disoccs_fw"][:n2])
+    close(res2["disoccs_w"][n2:], res1["disoccs_bw"][n2:])
+    for c in range(3):
+        close(res2["xyzs_wb"][c][:n2], res1["xyzs_fw_bw"][c][:n2])
+        close(res2["xyzs_wb"][c][n2:], res1["xyzs_bw_fw"][c][n2:])
+    # main-eval outputs identical
+    for k in ("rgb_fine", "depth_fine", "weights", "xyz_fw", "xyz_bw"):
+        close(res2[k], res1[k])
+
+    ld1 = compute_losses_planar(res1, batch, lcfg, epoch=2, Ks=Ks, Ps=Ps)
+    ld2 = compute_losses_planar(res2, batch, lcfg, epoch=2, Ks=Ks, Ps=Ps)
+    assert set(ld1) == set(ld2)
+    for k in ld1:
+        if k in ("pho_l", "cyc_l"):
+            continue
+        np.testing.assert_allclose(float(ld1[k]), float(ld2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # pho/cyc: 2x-weighted per-half statistics of the exact quantities
+    rgbs = np.asarray(batch["rgbs"])
+    dfw = np.asarray(res1["disocc_fw"])[:n2]
+    dbw = np.asarray(res1["disocc_bw"])[n2:]
+    pho_fw = dfw * (np.asarray(res1["rgb_fw"])[:n2] - rgbs[:n2]) ** 2 \
+        / dfw.mean()
+    pho_bw = dbw * (np.asarray(res1["rgb_bw"])[n2:] - rgbs[n2:]) ** 2 \
+        / dbw.mean()
+    expected_pho = 2.0 * np.concatenate([pho_fw, pho_bw]).mean(-1).mean()
+    np.testing.assert_allclose(float(ld2["pho_l"]), expected_pho,
+                               rtol=1e-4)
+
+    # and gradients through the subsampled loss stay finite
+    def loss2(p):
+        m, e = _split(p)
+        r = render_train_planar(m["fine"], e, batch["rays"], batch["ts"],
+                                key, cfg2)
+        return total_loss(compute_losses_planar(r, batch, lcfg, epoch=2,
+                                                Ks=Ks, Ps=Ps))
+
+    g = jax.grad(loss2)(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_warp_subsample_step_integration_and_mesh():
+    """make_train_step with warp_subsample=2 runs end-to-end (fused
+    compositor forced on so the duplicated-w1 slot path is covered) and
+    the sharded (2 virtual devices) step matches unsharded."""
+    import optax
+
+    from nsff_pl_tpu.parallel import make_mesh
+    from nsff_pl_tpu.training.step import TrainState, make_train_step
+
+    params, batch, Ks, Ps, cfg, lcfg = _setup()
+    cfg = dataclasses.replace(cfg, fused_train="on", warp_subsample=2,
+                              planar_compositing="on")
+    rng = np.random.RandomState(1)
+    table = rng.rand(FRAMES, 256, 16).astype(np.float32)
+    table[..., 0:2] = table[..., 0:2] * 2 - 1
+    table[..., 2] = -1.0 + 0.1 * table[..., 2]
+    table[..., 3:5] = (table[..., 3:5] - 0.5) * 0.4
+    table[..., 5] = 1.0 - table[..., 2]
+    table[..., 9] = np.arange(FRAMES, dtype=np.float32)[:, None]
+    table = jnp.asarray(table)
+    weights = jnp.ones(table.shape[:2], jnp.float32)
+    tx = optax.adam(1e-3)
+
+    def run(mesh):
+        step = make_train_step(
+            cfg, lcfg, tx, output_transient=True,
+            output_transient_flow=("fw", "bw", "disocc"),
+            steps_per_epoch=10, batch_size=32, mesh=mesh, donate=False)
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        state2, metrics, aux = step(state, table, weights, Ks, Ps,
+                                    jax.random.PRNGKey(0), jnp.asarray(1))
+        return state2, metrics
+
+    s1, m1 = run(None)
+    assert np.isfinite(float(m1["loss"]))
+    before = np.asarray(params["nerf_fine"]["static_xyz_0"]["w"])
+    after = np.asarray(s1.params["nerf_fine"]["static_xyz_0"]["w"])
+    assert not np.allclose(before, after)
+
+    s2, m2 = run(make_mesh(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
