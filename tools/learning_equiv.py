@@ -18,8 +18,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(backend: str, root: str, args) -> float:
-    
+def run(backend: str, root: str, args, warp_subsample: int = 1,
+        tag: str = "") -> float:
     from nsff_pl_tpu.config import NSFFConfig
     from nsff_pl_tpu.training.trainer import NSFFSystem
 
@@ -28,7 +28,9 @@ def run(backend: str, root: str, args) -> float:
         N_samples=args.N_samples, batch_size=args.batch_size,
         num_epochs=args.epochs, lr=5e-4, lr_scheduler="cosine",
         encode_t=True, use_viewdir=True, dtype="bfloat16",
-        train_backend=backend, exp_name=f"equiv_{backend}",
+        train_backend=backend, warp_subsample=warp_subsample,
+        flow_scale=args.flow_scale, scan_steps=args.scan_steps,
+        exp_name=tag or f"equiv_{backend}",
         log_dir="/tmp/equiv_logs", ckpt_dir="/tmp/equiv_ckpts",
         val_every_steps=10 ** 9)
     sys_ = NSFFSystem(cfg)
@@ -45,7 +47,14 @@ def main():
     p.add_argument("--frames", type=int, default=5)
     p.add_argument("--N_samples", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--flow_scale", type=float, default=0.2)
+    p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--scene", type=str, default="/tmp/equiv_scene_v2")
+    p.add_argument("--mode", choices=["backend", "warp"], default="backend",
+                   help="backend: XLA vs Pallas (both exact). "
+                        "warp: Pallas exact (warp_subsample=1) vs "
+                        "subsampled (warp_subsample=2) — the VERDICT r3 #2 "
+                        "learning-equivalence check for the >=5x path.")
     args = p.parse_args()
 
     if not os.path.isdir(args.scene):
@@ -61,12 +70,21 @@ def main():
                              N=args.frames, seed=0, learnable=True)
 
     results = {}
-    for backend in ("xla", "pallas"):
-        results[backend] = run(backend, args.scene, args)
-        print(f"[{backend}] final val PSNR = {results[backend]:.3f} dB",
-              flush=True)
-    delta = results["pallas"] - results["xla"]
-    print(f"PSNR delta (pallas - xla) = {delta:+.3f} dB")
+    if args.mode == "backend":
+        for backend in ("xla", "pallas"):
+            results[backend] = run(backend, args.scene, args)
+            print(f"[{backend}] final val PSNR = {results[backend]:.3f} dB",
+                  flush=True)
+        delta = results["pallas"] - results["xla"]
+        print(f"PSNR delta (pallas - xla) = {delta:+.3f} dB")
+    else:  # exact 2-warp evaluation vs one-direction-per-ray subsampling
+        for ws in (1, 2):
+            results[ws] = run("pallas", args.scene, args, warp_subsample=ws,
+                              tag=f"equiv_ws{ws}")
+            print(f"[warp_subsample={ws}] final val PSNR = "
+                  f"{results[ws]:.3f} dB", flush=True)
+        delta = results[2] - results[1]
+        print(f"PSNR delta (ws2 - exact) = {delta:+.3f} dB")
 
 
 if __name__ == "__main__":
