@@ -62,6 +62,12 @@ def get_opts(argv=None):
                         help="render compute dtype; bfloat16 enables the "
                              "fused Pallas eval kernels on TPU (float32 "
                              "matches the reference's eval numerics)")
+    parser.add_argument("--planar_eval", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="planar no-grad eval path (in-kernel xyz, "
+                             "(N,S)-plane boundaries). 'auto': taken with "
+                             "--dtype bfloat16 on TPU; 'on': force the "
+                             "planar kernel; 'off': packed eval path")
     parser.add_argument("--video_format", type=str, default="mp4",
                         choices=["mp4", "gif"])
     parser.add_argument("--fps", type=int, default=10)
@@ -160,7 +166,8 @@ def main(args):
         use_viewdir=args.use_viewdir, N_samples=args.N_samples,
         N_importance=args.N_importance, encode_a=args.encode_a, N_a=args.N_a,
         encode_t=args.encode_t, N_tau=args.N_tau, flow_scale=args.flow_scale,
-        dtype=getattr(args, "dtype", "float32"))
+        dtype=getattr(args, "dtype", "float32"),
+        planar_eval=getattr(args, "planar_eval", "auto"))
     params = load_params(args, cfg)
     rcfg = render_config(cfg)
 

@@ -84,6 +84,10 @@ class NSFFConfig:
 
     # ---- TPU-specific knobs (new; no reference equivalent) ----
     mlp_backend: str = "auto"  # eval backend: 'auto' | 'xla' | 'pallas'
+    # planar no-grad eval path (models/raymarch.py::render_test_planar):
+    # 'auto' = whenever the Pallas eval backend is active and the config
+    # fits the planar envelope; 'off' = packed eval kernel path
+    planar_eval: str = "auto"
     # train backend: 'auto' | 'xla' | 'pallas' | 'stub'
     # ('stub' replaces the MLP with a trivial map — profiling aid that
     # times only the non-MLP glue; never use for real training)
@@ -237,6 +241,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # TPU-native extras
     parser.add_argument("--mlp_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
+    parser.add_argument("--planar_eval", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="planar no-grad eval path (in-kernel xyz, "
+                             "(N,S)-plane boundaries). 'auto': taken when "
+                             "the Pallas eval backend is active; 'on': "
+                             "force the planar kernel; 'off': packed path")
     parser.add_argument("--train_backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "stub"],
                         help="training MLP backend; 'stub' is a "

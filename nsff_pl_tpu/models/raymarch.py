@@ -66,6 +66,183 @@ def planar_applicable(cfg: RenderConfig, output_transient: bool,
                                            output_transient_flow)
 
 
+def test_planar_unapplicable_reasons(cfg: RenderConfig,
+                                     output_transient: bool) -> list:
+    """Why the planar TEST path does not cover this configuration (empty
+    = applicable). Unlike the train gate, flows are optional here: the
+    test path never warps (`/root/reference/models/rendering.py:217`
+    gate), so fw/bw only add head outputs."""
+    reasons = []
+    if not (cfg.encode_t and output_transient):
+        reasons.append("no transient branch")
+    if cfg.N_importance != 0:
+        reasons.append("N_importance > 0 (coarse-to-fine)")
+    if jax.default_backend() != "cpu" and cfg.N_samples % 128 != 0:
+        reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+    return reasons
+
+
+def _visibility_planes(o, d, zs, K, img_wh, c2ws):
+    """`ops.rays.compute_world_visibility` of every sample point, on
+    (N, S) component planes (no (N*S, 3) point list materializes; the
+    minor-dim-3 layout lane-pads 3->128 in HBM). Reproduces
+    `ray_utils.py:154-181` + the `ndc2world` pre-step the test path
+    applies (`models/rendering.py:191-200`)."""
+    w_img, h_img = img_wh
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    X = o[:, 0:1] + d[:, 0:1] * zs
+    Y = o[:, 1:2] + d[:, 1:2] * zs
+    Z = o[:, 2:3] + d[:, 2:3] * zs
+    # ndc2world, componentwise (ops/rays.py:89-105)
+    rz = 2.0 / (Z - 1 - 1e-6)
+    wx, wy, wz = -rz * X * cx / fx, -rz * Y * cy / fy, rz
+
+    c2ws = jnp.asarray(c2ws)
+    C = c2ws.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(4), (C, 4, 4))
+    w2c = jnp.linalg.inv(eye.at[:, :3].set(c2ws))
+    R, t = w2c[:, :3, :3], w2c[:, :3, 3]
+    vis = jnp.zeros_like(zs)
+    for c in range(C):  # C is 1 in the eval CLI (current frame's camera)
+        px = R[c, 0, 0] * wx + R[c, 0, 1] * wy + R[c, 0, 2] * wz + t[c, 0]
+        py = R[c, 1, 0] * wx + R[c, 1, 1] * wy + R[c, 1, 2] * wz + t[c, 1]
+        pz = R[c, 2, 0] * wx + R[c, 2, 1] * wy + R[c, 2, 2] * wz + t[c, 2]
+        in_front = pz < 0
+        # flip to "right down front" (ray_utils.py:176): (px, -py, -pz)
+        uu = fx * px + cx * -pz
+        vv = fy * -py + cy * -pz
+        dd = -pz
+        denom = jnp.where(jnp.abs(dd) < 1e-8,
+                          jnp.sign(dd) * 1e-8 + 1e-12, dd)
+        u, v = uu / denom, vv / denom
+        inside = ((u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+                  & in_front)
+        vis = vis + inside.astype(jnp.float32)
+    return vis
+
+
+def render_test_planar(
+    params_fine: nerf_m.Params,
+    embeddings: Dict[str, jnp.ndarray],
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    rng: jax.Array,
+    cfg: RenderConfig,
+    *,
+    output_transient_flow=(),
+    vis_poses=None,
+    vis_K=None,
+    view_dir=None,
+    mesh=None,
+) -> Dict[str, jnp.ndarray]:
+    """Test-time (no-grad) renderer on the planar fused kernel.
+
+    Same semantics and result keys as `render_rays(test_time=True)` over
+    the planar envelope (`test_planar_unapplicable_reasons`): ONE
+    dual-tower evaluation per sample — the reference's test path skips
+    the warped renders (`/root/reference/models/rendering.py:217`) but
+    keeps the flow heads — plus visibility culling (`rendering.py:191-200`)
+    and all composite maps (`rendering.py:256-295`). Every per-sample
+    quantity is a dense (N, S) plane; the (N, S, 3) result keys are
+    assembled at the end and DCE'd by XLA when the caller's key filter
+    drops them (`training/step.py::make_render_fn` filters inside jit).
+
+    Vs the packed eval path this avoids materializing xyz (N, S, 3) and
+    the packed (rows, 16) kernel output — both lane-pad their minor dim
+    to 128 in HBM (a 42x/8x physical blowup read and written once per
+    chunk)."""
+    n = rays.shape[0]
+    S = cfg.N_samples
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    flow = tuple(f for f in output_transient_flow if f in ("fw", "bw"))
+    use_viewdir = cfg.use_viewdir
+    dir_src = view_dir if view_dir is not None else d
+    dir_emb = (posenc(dir_src, cfg.S_emb_dir, cfg.N_emb_dir)
+               if use_viewdir else None)
+    zs, _ = stratified_zs(rng, n, S, 0.0)  # test time: perturb=0
+    t_emb = nerf_m.embedding_lookup(embeddings["t"], ts)
+    encode_a = cfg.encode_a and "a" in embeddings
+    a_emb = nerf_m.embedding_lookup(embeddings["a"], ts) if encode_a else None
+
+    op = make_planar_nerf_train(
+        S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
+        output_flow=flow, n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+        n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
+        flow_scale=cfg.flow_scale,
+        block_rows=4096 if n > 1024 else 2048)
+    if mesh is not None:
+        op = _shard_planar(op, mesh)
+    out = op(params_fine, o, d, zs, None, dir_emb, a_emb, t_emb)
+
+    res: Dict[str, jnp.ndarray] = {"zs_fine": zs}
+    xyz = tuple(o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3))
+
+    tsig_raw = out["tsig"]
+    if vis_poses is not None:
+        vis = _visibility_planes(o, d, zs, jnp.asarray(vis_K), cfg.img_wh,
+                                 vis_poses)
+        tsig_raw = jnp.where(vis == 0, -10.0, tsig_raw)
+
+    d_s, d_t = cp.deltas_from_zs(zs)
+    tau_s = d_s * cp.softplus(out["ssig"])
+    tau_t = d_t * cp.softplus(tsig_raw)
+    static_sigmas = cp.softplus(out["ssig"])
+    transient_sigmas = cp.softplus(tsig_raw)
+    static_alphas = 1.0 - jnp.exp(-tau_s)
+    transient_alphas = 1.0 - jnp.exp(-tau_t)
+    alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
+    trans = cp.transmittance_from_taus(tau_s + tau_t)
+    sw = static_alphas * trans
+    tw = transient_alphas * trans
+    w = alphas * trans
+
+    srgb = (out["srgb_r"], out["srgb_g"], out["srgb_b"])
+    trgb = (out["trgb_r"], out["trgb_g"], out["trgb_b"])
+    res["rgb_fine"] = jnp.stack(
+        [jnp.sum(sw * sc + tw * tc, -1) for sc, tc in zip(srgb, trgb)], -1)
+    res["depth_fine"] = jnp.sum(w * zs, -1)
+    transient_rgb_map = jnp.stack([jnp.sum(tw * c, -1) for c in trgb], -1)
+    transient_alpha = jnp.sum(tw, -1)
+    res["transient_alpha_fine"] = transient_alpha
+    # gray background for the transient-only view (`rendering.py:264-265`)
+    res["transient_rgb_fine"] = (transient_rgb_map
+                                 + 0.8 * (1.0 - transient_alpha[:, None]))
+    # static-only compositing with its own transmittance
+    # (`rendering.py:270-278`)
+    _sw = static_alphas * cp.transmittance_from_taus(tau_s)
+    res["_static_rgb_fine"] = jnp.stack(
+        [jnp.sum(_sw * c, -1) for c in srgb], -1)
+    res["_static_depth_fine"] = jnp.sum(_sw * zs, -1)
+
+    if flow:
+        far = zs > Z_FAR  # flow zeroed beyond z_far (`rendering.py:316`)
+        ffw = tuple(jnp.where(far, 0.0, out[f"ffw_{c}"]) for c in "xyz")
+        fbw = tuple(jnp.where(far, 0.0, out[f"fbw_{c}"]) for c in "xyz")
+        res["xyz_fine"] = jnp.stack([jnp.sum(w * x, -1) for x in xyz], -1)
+        res["transient_flow_fw"] = jnp.stack(
+            [jnp.sum(w * f, -1) for f in ffw], -1)
+        res["xyz_fw"] = res["xyz_fine"] + res["transient_flow_fw"]
+        res["transient_flow_bw"] = jnp.stack(
+            [jnp.sum(w * f, -1) for f in fbw], -1)
+        res["xyz_bw"] = res["xyz_fine"] + res["transient_flow_bw"]
+        res["transient_flows_fw"] = jnp.stack(ffw, -1)
+        res["transient_flows_bw"] = jnp.stack(fbw, -1)
+
+    # per-sample (N, S[, 3]) result keys of the packed path (DCE'd by
+    # XLA unless requested by the caller's key filter)
+    res["xyzs_fine"] = jnp.stack(xyz, -1)
+    res["static_rgbs_fine"] = jnp.stack(srgb, -1)
+    res["transient_rgbs_fine"] = jnp.stack(trgb, -1)
+    res["static_sigmas_fine"] = static_sigmas
+    res["transient_sigmas_fine"] = transient_sigmas
+    res["static_alphas_fine"] = static_alphas
+    res["transient_alphas_fine"] = transient_alphas
+    res["static_weights_fine"] = sw
+    res["transient_weights_fine"] = tw
+    res["weights_fine"] = w
+    return res
+
+
 def _shard_planar(fn, mesh):
     """shard_map a planar fused op over the data mesh: rays (and all their
     planes) shard on the leading axis, weights replicate. Mirrors

@@ -98,6 +98,11 @@ class RenderConfig:
     # the exact loss. ~25% FLOP cut; learning-equivalence is measured,
     # not assumed (tools/learning_equiv.py --warp_subsample).
     warp_subsample: int = 1
+    # planar test-time path (models/raymarch.py::render_test_planar):
+    # 'auto' = take it whenever the Pallas eval backend is active and the
+    # config fits the planar envelope (transient, N_importance=0, S a
+    # lane multiple); 'off' = always use the packed eval kernel path.
+    planar_eval: str = "auto"
     # 'auto' | 'xla' | 'pallas' — evaluation backend for the no-grad
     # (test-time) path. The fused Pallas kernel (ops/mlp_kernel.py,
     # selector-matmul posenc + packed transient heads) measures 1.34x
@@ -192,6 +197,30 @@ def render_rays(
     output_transient = output_transient and cfg.encode_t
     flow = tuple(output_transient_flow) if output_transient else ()
     n_rays = rays.shape[0]
+
+    if test_time and cfg.planar_eval != "off":
+        if cfg.planar_eval not in ("auto", "on"):
+            raise ValueError(f"unknown planar_eval {cfg.planar_eval!r}")
+        eff = cfg.mlp_backend
+        if eff == "auto":
+            eff = ("pallas" if (jax.default_backend() != "cpu"
+                                and cfg.compute_dtype == "bfloat16")
+                   else "xla")
+        # 'on' forces the planar kernel path (interpret mode off-TPU);
+        # 'auto' takes it only when the Pallas eval backend is active
+        if cfg.planar_eval == "on" or eff == "pallas":
+            from nsff_pl_tpu.models import raymarch
+
+            if not raymarch.test_planar_unapplicable_reasons(
+                    cfg, output_transient):
+                # planar no-grad path: in-kernel xyz assembly, dense
+                # (N, S) plane boundaries (no packed (rows, 16) output),
+                # same result keys (models/raymarch.py)
+                return raymarch.render_test_planar(
+                    params["fine"], embeddings, rays, ts, rng, cfg,
+                    output_transient_flow=flow, vis_poses=vis_poses,
+                    vis_K=vis_K, view_dir=view_dir, mesh=mesh)
+
     results: Dict[str, jnp.ndarray] = {}
 
     k_perturb, k_pdf_s, k_pdf_t, k_rest = jax.random.split(rng, 4)
