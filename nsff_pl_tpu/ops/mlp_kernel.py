@@ -153,6 +153,13 @@ def make_fused_nerf_eval(
         # block must cover whole rays
         block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
     rays_per_blk = block_rows // n_samples
+    if rays_per_blk % 8 != 0:
+        # per-ray conditioning tiles are (rays_per_blk, C) blocks: the
+        # TPU needs the second-minor block dim sublane-aligned (%8==0).
+        # Hit e.g. at S=192 (coarse-to-fine fine pass, 64+2*64), where
+        # 1024//192 = 5 rays/block
+        rays_per_blk = ((rays_per_blk + 7) // 8) * 8
+        block_rows = rays_per_blk * n_samples
 
     static_names = ([f"static_xyz_{i}" for i in range(D)]
                     + ["static_xyz_final"]

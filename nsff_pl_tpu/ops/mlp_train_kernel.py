@@ -176,6 +176,10 @@ def make_fused_nerf_train(
     if block_rows % n_samples != 0:
         block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
     rays_per_blk = block_rows // n_samples
+    if rays_per_blk % 8 != 0:
+        # sublane-align the per-ray tile height (see make_fused_nerf_eval)
+        rays_per_blk = ((rays_per_blk + 7) // 8) * 8
+        block_rows = rays_per_blk * n_samples
     # backward blocks cover WHOLE rays so per-ray conditioning loads as a
     # small tile and the embedding gradients reduce over samples in-kernel
     BWD_BLK = bwd_block_rows
@@ -540,10 +544,13 @@ def make_fused_nerf_train(
         interpret = jax.default_backend() == "cpu"
         try:
             # whole-ray blocks (bwd_rays aligned to 8) push the bwd
-            # working set slightly past the default 16M scoped-vmem cap
+            # working set past the default 16M scoped-vmem cap; scale the
+            # cap with the block size (8-ray blocks at S>128 — e.g. the
+            # coarse-to-fine fine pass at S=256 — need BWD_BLK=8*S rows)
             compiler_params = pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=24 * 1024 * 1024)
+                vmem_limit_bytes=(24 + 26 * max(0, BWD_BLK // 1024 - 1))
+                * 1024 * 1024)
         except TypeError:
             compiler_params = None
         return pl.pallas_call(
