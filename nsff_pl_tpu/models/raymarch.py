@@ -10,11 +10,14 @@ width exactly) instead of lane-padded (N, S, 3)/(N, S, 16) arrays, and
 sample positions never materialize: the kernels assemble xyz = o + d*z
 (+ flow) internally.
 
-Scope (the flagship training recipe, README.md:227-234): fine model only
-(N_importance == 0), transient branch with fw+bw flows. Everything else
-(coarse-to-fine, test-time, eval) uses `render_rays`, which remains the
-reference-shaped implementation. Equivalence of the two paths is asserted
-in tests/test_planar_path.py.
+Scope: the flagship training recipe (README.md:227-234) — transient
+branch with fw+bw flows — plus coarse-to-fine when the fine pass stays
+lane-aligned ((N_samples + 2*N_importance) % 128 == 0; the coarse pass
+runs a second planar evaluation and PDF-resampled zs feed the fine pass
+as an external (N, S_fine) plane). Everything outside the envelope
+(`planar_unapplicable_reasons`) uses `render_rays`, which remains the
+reference-shaped implementation. Equivalence of the two paths is
+asserted in tests/test_planar_path.py and tests/test_planar_c2f.py.
 """
 from __future__ import annotations
 
@@ -29,7 +32,7 @@ from nsff_pl_tpu.ops import compositing as cp
 from nsff_pl_tpu.ops.compositing_planar_kernel import make_planar_compositor
 from nsff_pl_tpu.ops.posenc import posenc
 from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
-from nsff_pl_tpu.ops.sampling import stratified_zs
+from nsff_pl_tpu.ops.sampling import sample_pdf, stratified_zs
 
 
 LANE_REASON = "N_samples not a multiple of the 128 TPU lane width"
@@ -44,18 +47,26 @@ def planar_unapplicable_reasons(cfg: RenderConfig, output_transient: bool,
     reasons = []
     if not (cfg.encode_t and output_transient):
         reasons.append("no transient branch")
-    if cfg.N_importance != 0:
-        reasons.append("N_importance > 0 (coarse-to-fine)")
     if not ("fw" in flow and "bw" in flow):
         reasons.append("fw+bw flows not both requested")
-    if jax.default_backend() != "cpu" and cfg.N_samples % 128 != 0:
-        reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+    if jax.default_backend() != "cpu":
+        if cfg.N_samples % 128 != 0:
+            reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+        if cfg.N_importance > 0:
+            # fine pass renders N_samples + 2*N_importance sorted samples
+            # (static + transient importance draws, `rendering.py:326-348`)
+            s_fine = cfg.N_samples + 2 * cfg.N_importance
+            if s_fine % 128 != 0:
+                reasons.append(
+                    f"coarse-to-fine fine pass S={s_fine}: {LANE_REASON} "
+                    f"(needs (N_samples + 2*N_importance) % 128 == 0)")
     return reasons
 
 
 def planar_applicable(cfg: RenderConfig, output_transient: bool,
                       output_transient_flow) -> bool:
-    """The planar path covers exactly the flagship train configuration.
+    """The planar path covers the flagship train configuration (and its
+    coarse-to-fine variant when the fine pass stays lane-aligned).
 
     On real TPU the plane layout additionally needs S = N_samples to be a
     multiple of the 128-lane width: the kernels' (C, R, S) plane reshapes
@@ -267,6 +278,7 @@ def render_train_planar(
     rng: jax.Array,
     cfg: RenderConfig,
     *,
+    params_coarse: nerf_m.Params = None,
     mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a training batch with planar layouts.
@@ -274,13 +286,16 @@ def render_train_planar(
     Returns a dict of:
       - per-ray maps: rgb_fine (N,3), depth_fine (N,), rgb_fw/rgb_bw (N,3),
         xyz_fine/xyz_fw/xyz_bw (N,3), disocc_fw/disocc_bw (N,1)
+        (+ rgb_coarse (N,3) / depth_coarse (N,) when N_importance > 0)
       - dense planes (N,S): zs, static_weights/transient_weights/weights,
         disoccs_fw/disoccs_bw
       - component-plane 3-tuples of (N,S): xyzs, xyzs_fw, xyzs_bw,
         xyzs_fw_bw, xyzs_bw_fw
-    consumed by `training.loss.compute_losses_planar`. The RNG key-split
-    structure matches `render_rays` so both paths draw identical
-    perturb/noise values.
+    consumed by `training.loss.compute_losses_planar`. S is N_samples, or
+    N_samples + 2*N_importance for the fine planes under coarse-to-fine
+    (`rendering.py:326-348`: the sorted union of stratified + static-pdf
+    + transient-pdf draws). The RNG key-split structure matches
+    `render_rays` so both paths draw identical perturb/noise/pdf values.
     """
     n = rays.shape[0]
     S = cfg.N_samples
@@ -288,20 +303,20 @@ def render_train_planar(
     use_viewdir = cfg.use_viewdir
     dir_emb = posenc(d, cfg.S_emb_dir, cfg.N_emb_dir) if use_viewdir else None
 
-    k_perturb, _k_pdf_s, _k_pdf_t, k_rest = jax.random.split(rng, 4)
-    zs, _ = stratified_zs(k_perturb, n, S, cfg.perturb)
+    k_perturb, k_pdf_s, k_pdf_t, k_rest = jax.random.split(rng, 4)
+    zs, zs_mid = stratified_zs(k_perturb, n, S, cfg.perturb)
     t_emb = nerf_m.embedding_lookup(embeddings["t"], ts)
     encode_a = cfg.encode_a and "a" in embeddings
     a_emb = nerf_m.embedding_lookup(embeddings["a"], ts) if encode_a else None
 
-    _k_coarse, k_fine = jax.random.split(k_rest)
+    k_coarse, k_fine = jax.random.split(k_rest)
     k_noise_s, k_noise_t, k_fw, k_bw = jax.random.split(k_fine, 4)
     noise_std = cfg.noise_std
 
-    def noise(k):
+    def noise(k, s_count):
         if noise_std <= 0:
-            return jnp.zeros((n, S))
-        return jax.random.normal(k, (n, S)) * noise_std
+            return jnp.zeros((n, s_count))
+        return jax.random.normal(k, (n, s_count)) * noise_std
 
     kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
@@ -311,13 +326,56 @@ def render_train_planar(
     # and the transient-only warp forward prefers 4096-row blocks; small
     # batches (<= 1024 rays) measured faster with the smaller blocks
     big = n > 1024
+
+    res: Dict[str, jnp.ndarray] = {}
+    if cfg.N_importance > 0:
+        # coarse-to-fine (`rendering.py:326-348`) staying planar: a second
+        # dual-tower evaluation of the COARSE model (no appearance/flow
+        # heads — `nerf.py:67,112`) at the stratified zs, its own
+        # composite (noisy sigmas, shared transmittance), then PDF
+        # importance draws from the stop-gradient'ed static + transient
+        # weights feed the fine pass as an external sorted (N, S_fine)
+        # zs plane. sample_pdf/sort are XLA (tiny next to the MLPs).
+        if params_coarse is None:
+            raise ValueError(
+                "N_importance > 0 needs params_coarse (the coarse model)")
+        coarse_op = make_planar_nerf_train(
+            S, use_viewdir=use_viewdir, encode_a=False, encode_t=True,
+            output_flow=(), block_rows=4096 if big else 2048,
+            bwd_block_rows=2048 if big else 1024, **kker)
+        if mesh is not None:
+            coarse_op = _shard_planar(coarse_op, mesh)
+        kc_noise_s, kc_noise_t, _kc_fw, _kc_bw = jax.random.split(k_coarse, 4)
+        cout = coarse_op(params_coarse, o, d, zs, None, dir_emb, None, t_emb)
+        d_s_c, d_t_c = cp.deltas_from_zs(zs)
+        tau_s_c = d_s_c * cp.softplus(cout["ssig"] + noise(kc_noise_s, S))
+        tau_t_c = d_t_c * cp.softplus(cout["tsig"] + noise(kc_noise_t, S))
+        trans_c = cp.transmittance_from_taus(tau_s_c + tau_t_c)
+        sw_c = (1.0 - jnp.exp(-tau_s_c)) * trans_c
+        tw_c = (1.0 - jnp.exp(-tau_t_c)) * trans_c
+        w_c = (1.0 - jnp.exp(-(tau_s_c + tau_t_c))) * trans_c
+        res["rgb_coarse"] = jnp.stack(
+            [jnp.sum(sw_c * cout[f"srgb_{c}"] + tw_c * cout[f"trgb_{c}"],
+                     -1) for c in "rgb"], -1)
+        res["depth_coarse"] = jnp.sum(w_c * zs, -1)
+        det = cfg.perturb == 0
+        zs_static = sample_pdf(
+            k_pdf_s, zs_mid, jax.lax.stop_gradient(sw_c[:, 1:-1]),
+            cfg.N_importance, det=det)
+        zs_transient = sample_pdf(
+            k_pdf_t, zs_mid, jax.lax.stop_gradient(tw_c[:, 1:-1]),
+            cfg.N_importance, det=det)
+        zs = jnp.sort(
+            jnp.concatenate([zs, zs_static, zs_transient], -1), -1)
+    Sf = zs.shape[1]  # fine-pass sample count (= S when N_importance == 0)
+
     ws = cfg.warp_subsample
     if ws not in (1, 2):
         raise ValueError(f"warp_subsample must be 1 or 2, got {ws}")
     if ws == 2 and n % 2:
         raise ValueError("warp_subsample=2 needs an even ray batch")
     main_op = make_planar_nerf_train(
-        S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
+        Sf, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
         output_flow=("fw", "bw"),
         bwd_block_rows=2048 if big else 1024, **kker)
     warp_kw = dict(static_branch=False, flow_in=True, encode_t=True,
@@ -327,9 +385,9 @@ def render_train_planar(
         # ONE warp evaluation per ray (see RenderConfig.warp_subsample):
         # both flow heads so each half can read the opposite direction
         warp_ops = {"both": make_planar_nerf_train(
-            S, output_flow=("fw", "bw"), **warp_kw)}
+            Sf, output_flow=("fw", "bw"), **warp_kw)}
     else:
-        warp_ops = {w: make_planar_nerf_train(S, output_flow=(w,),
+        warp_ops = {w: make_planar_nerf_train(Sf, output_flow=(w,),
                                               **warp_kw)
                     for w in ("fw", "bw")}
     if mesh is not None:
@@ -337,7 +395,6 @@ def render_train_planar(
         warp_ops = {w: _shard_planar(op, mesh)
                     for w, op in warp_ops.items()}
 
-    res: Dict[str, jnp.ndarray] = {}
     main = main_op(params_fine, o, d, zs, None, dir_emb, a_emb, t_emb)
 
     far = zs > Z_FAR  # flow zeroed beyond z_far (`rendering.py:316`)
@@ -394,7 +451,7 @@ def render_train_planar(
         # tau_s); ~25 XLA glue fusions collapse into one read/write of
         # each plane (ops/compositing_planar_kernel.py)
         comp_in = {"zs": zs, "ssig": main["ssig"], "tsig": main["tsig"],
-                   "ns": noise(k_noise_s), "nt": noise(k_noise_t)}
+                   "ns": noise(k_noise_s, Sf), "nt": noise(k_noise_t, Sf)}
         for c in "rgb":
             comp_in[f"srgb_{c}"] = main[f"srgb_{c}"]
             comp_in[f"trgb_{c}"] = main[f"trgb_{c}"]
@@ -403,7 +460,7 @@ def render_train_planar(
             # same planes and its outputs are discarded (their cotangents
             # are zero, so no gradient doubling). The duplicate composite
             # costs ~0.1 ms of a 0.34 ms kernel — not worth a variant.
-            nw = noise(k_fw)
+            nw = noise(k_fw, Sf)
             comp_in.update(tsig_w1=out_w["tsig"], tsig_w2=out_w["tsig"],
                            nw1=nw, nw2=nw)
             for c in "rgb":
@@ -411,11 +468,11 @@ def render_train_planar(
                 comp_in[f"trgb_w2_{c}"] = out_w[f"trgb_{c}"]
         else:
             comp_in.update(tsig_w1=out_w1["tsig"], tsig_w2=out_w2["tsig"],
-                           nw1=noise(k_fw), nw2=noise(k_bw))
+                           nw1=noise(k_fw, Sf), nw2=noise(k_bw, Sf))
             for c in "rgb":
                 comp_in[f"trgb_w1_{c}"] = out_w1[f"trgb_{c}"]
                 comp_in[f"trgb_w2_{c}"] = out_w2[f"trgb_{c}"]
-        compositor = make_planar_compositor(S)
+        compositor = make_planar_compositor(Sf)
         if mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as PS
@@ -441,8 +498,8 @@ def render_train_planar(
             res["rgb_bw"] = maps[:, 7:10]
     else:
         d_s, d_t = cp.deltas_from_zs(zs)
-        tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s))
-        tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t))
+        tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s, Sf))
+        tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t, Sf))
         static_alphas = 1.0 - jnp.exp(-tau_s)
         transient_alphas = 1.0 - jnp.exp(-tau_t)
         # alpha = 1-(1-a_s)(1-a_t) = 1-exp(-(tau_s+tau_t)); T via the
@@ -460,7 +517,7 @@ def render_train_planar(
         def warp_composite(out, k_w):
             """Composite a warped evaluation against the CURRENT static
             field (`rendering.py:98-140`)."""
-            tau_w = d_t * cp.softplus(out["tsig"] + noise(k_w))
+            tau_w = d_t * cp.softplus(out["tsig"] + noise(k_w, Sf))
             ta_w = 1.0 - jnp.exp(-tau_w)
             trans_w = cp.transmittance_from_taus(tau_s + tau_w)
             sw_w = static_alphas * trans_w

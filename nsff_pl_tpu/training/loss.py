@@ -238,8 +238,9 @@ def compute_losses_planar(
     (`models/raymarch.py::render_train_planar`): per-sample vectors arrive
     as 3-tuples of dense (N, S) component planes instead of (N, S, 3)
     arrays, so nothing here touches a lane-padded layout. Term-for-term
-    identical to `compute_losses` (asserted in tests/test_planar_path.py);
-    the fine-only scope means no coarse terms."""
+    identical to `compute_losses` (asserted in tests/test_planar_path.py
+    and tests/test_planar_c2f.py), including the coarse rgb/depth terms
+    when the renderer ran coarse-to-fine (`losses.py:76-83`)."""
     epoch = jnp.asarray(epoch, jnp.float32)
     lambda_geo = cfg.lambda_geo_init * 0.1 ** jnp.floor(epoch / 10.0)
 
@@ -247,9 +248,17 @@ def compute_losses_planar(
     masks: Dict[str, jnp.ndarray] = {}
 
     rgbs = batch["rgbs"]
-    ret["col_l"] = jnp.mean((results["rgb_fine"] - rgbs) ** 2, -1)
-    ret["disp_l"] = lambda_geo * shiftscale_invariant_depthloss(
+    col_l = jnp.mean((results["rgb_fine"] - rgbs) ** 2, -1)
+    if "rgb_coarse" in results:
+        col_l = col_l + 0.1 * jnp.mean(
+            (results["rgb_coarse"] - rgbs) ** 2, -1)
+    ret["col_l"] = col_l
+    disp_l = lambda_geo * shiftscale_invariant_depthloss(
         results["depth_fine"], batch["disps"])
+    if "depth_coarse" in results:
+        disp_l = disp_l + lambda_geo * shiftscale_invariant_depthloss(
+            results["depth_coarse"], batch["disps"])
+    ret["disp_l"] = disp_l
 
     tw = results["transient_weights"]  # (N, S)
     ret["entropy_l"] = cfg.lambda_ent * jnp.sum(

@@ -155,7 +155,8 @@ def make_train_step(
             if use_planar:
                 results = render_train_planar(
                     models["fine"], embeddings, batch["rays"],
-                    batch["ts"], k_render, render_cfg, mesh=mesh)
+                    batch["ts"], k_render, render_cfg,
+                    params_coarse=models.get("coarse"), mesh=mesh)
                 loss_d = compute_losses_planar(
                     results, batch, loss_cfg, epoch=epoch, Ks=Ks, Ps=Ps)
             else:
