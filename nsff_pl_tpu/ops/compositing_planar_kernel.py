@@ -107,7 +107,7 @@ def _fwd_core(ins):
     return out
 
 
-def make_planar_compositor(n_samples: int, *, block_rays: int = 256):
+def make_planar_compositor(n_samples: int, *, block_rays: int = 0):
     """Build the fused 3-composite compositor.
 
     fn(inputs: dict of the 21 `_IN_KEYS` (N, S) planes) -> dict of
@@ -120,7 +120,11 @@ def make_planar_compositor(n_samples: int, *, block_rays: int = 256):
     `render_transient_warping` `rendering.py:98-140` (warps).
     """
     S = n_samples
-    R = block_rays
+    # keep the per-block working set ~constant: the bwd kernel holds ~43
+    # (R, S) f32 planes + scan temporaries in scoped VMEM; (256, 128)
+    # blocks sit near the 16 MB cap, so shrink R as S grows (coarse-to-
+    # fine fine passes run S = N_samples + 2*N_importance, e.g. 256)
+    R = block_rays or max(8, min(256, 32768 // S))
 
     def fwd_kernel(*refs):
         ins = {k: r[...] for k, r in zip(_IN_KEYS, refs[:len(_IN_KEYS)])}
