@@ -30,7 +30,7 @@ BASELINE_A100_RAYS_PER_SEC = 15000.0
 
 def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
           fused_train: str = "auto", scan_steps: int = 1,
-          warp_subsample: int = 1):
+          warp_subsample: int = 1, n_importance: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,7 +51,12 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
             encode_transient=True, in_channels_t=48, output_flow=True),
         "embedding_t": nerf_m.init_embedding(ks[1], n_frames, 48),
     }
-    rcfg = RenderConfig(N_samples=n_samples, N_importance=0, perturb=1.0,
+    if n_importance > 0:
+        params["nerf_coarse"] = nerf_m.init_nerf_params(
+            ks[2], "coarse", use_viewdir=True, encode_appearance=False,
+            encode_transient=True, in_channels_t=48)
+    rcfg = RenderConfig(N_samples=n_samples, N_importance=n_importance,
+                        perturb=1.0,
                         noise_std=1.0, use_viewdir=True, encode_a=False,
                         encode_t=True, max_t=n_frames - 1, img_wh=(w, h),
                         compute_dtype=dtype, fused_train=fused_train,
@@ -91,7 +96,8 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
 
 
 def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
-            scan_steps: int = 0, warp_subsample: int = 1):
+            scan_steps: int = 0, warp_subsample: int = 1,
+            n_importance: int = 0):
     """Chained-step throughput. NOTE: on the tunneled (axon) backend
     `block_until_ready` does not reliably await remote execution — a value
     fetch does. We force completion by pulling the final loss, so the
@@ -110,7 +116,7 @@ def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
         scan_steps = max(1, 16384 // batch_size)
     step, state, (table, weights, Ks, Ps) = build(
         batch_size, dtype=dtype, scan_steps=scan_steps,
-        warp_subsample=warp_subsample)
+        warp_subsample=warp_subsample, n_importance=n_importance)
     key = jax.random.PRNGKey(0)
     # enough dispatches that the single final value-fetch round trip
     # (~30 ms over the tunnel) stays <3% of the measured window
@@ -251,9 +257,15 @@ def _stage_main(stage: str):
     elif stage.startswith("batch:"):
         parts = stage.split(":")
         bs = int(parts[1])
-        ws = int(parts[2][2:]) if len(parts) > 2 else 1  # "ws2" suffix
-        rays_s, loss = _retry(lambda: measure(bs, warp_subsample=ws),
-                              tag=f"batch={bs} ws={ws}")
+        ws, ni = 1, 0
+        for p in parts[2:]:  # "ws2" / "c2f64" suffixes
+            if p.startswith("ws"):
+                ws = int(p[2:])
+            elif p.startswith("c2f"):
+                ni = int(p[3:])
+        rays_s, loss = _retry(lambda: measure(bs, warp_subsample=ws,
+                                              n_importance=ni),
+                              tag=f"batch={bs} ws={ws} ni={ni}")
         print(f"STAGE_RESULT "
               f"{json.dumps({'rays_per_sec': rays_s, 'loss': loss})}",
               flush=True)
@@ -336,6 +348,17 @@ def main():
         rows[f"batch{bs}_ws2_rays_per_sec"] = round(rays_s, 1)
         if rays_s > best_ws2:
             best_ws2, best_ws2_cfg = rays_s, bs
+    # coarse-to-fine (--N_importance 64): the planar envelope covers the
+    # PDF-resampled fine pass (S = 128 + 2*64 = 256) since round 4; the
+    # step evaluates ~2.3x the flagship FLOPs/ray (coarse dual-tower pass
+    # + 3 tower passes at S=256), so this row is NOT the headline — it
+    # quantifies the c2f recipe (`rendering.py:326-348` semantics)
+    r = _run_stage("batch:512:c2f64")
+    if r is not None:
+        print(f"# batch=512 N_importance=64 (planar c2f, fine S=256): "
+              f"{r['rays_per_sec']:,.0f} rays/s (loss {r['loss']:.3f})",
+              flush=True)
+        rows["batch512_c2f64_rays_per_sec"] = round(r["rays_per_sec"], 1)
     headline, hl_cfg, hl_note = best, best_cfg, ""
     if best_ws2 > best:
         headline, hl_cfg = best_ws2, best_ws2_cfg
