@@ -86,10 +86,17 @@ def test_planar_unapplicable_reasons(cfg: RenderConfig,
     reasons = []
     if not (cfg.encode_t and output_transient):
         reasons.append("no transient branch")
-    if cfg.N_importance != 0:
-        reasons.append("N_importance > 0 (coarse-to-fine)")
-    if jax.default_backend() != "cpu" and cfg.N_samples % 128 != 0:
-        reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+    if jax.default_backend() != "cpu":
+        if cfg.N_samples % 128 != 0:
+            reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
+        if cfg.N_importance > 0:
+            # fine pass renders N_samples + 2*N_importance sorted samples
+            # (static + transient importance draws, `rendering.py:326-348`)
+            s_fine = cfg.N_samples + 2 * cfg.N_importance
+            if s_fine % 128 != 0:
+                reasons.append(
+                    f"coarse-to-fine fine pass S={s_fine}: {LANE_REASON} "
+                    f"(needs (N_samples + 2*N_importance) % 128 == 0)")
     return reasons
 
 
@@ -140,6 +147,7 @@ def render_test_planar(
     rng: jax.Array,
     cfg: RenderConfig,
     *,
+    params_coarse: nerf_m.Params = None,
     output_transient_flow=(),
     vis_poses=None,
     vis_K=None,
@@ -170,22 +178,76 @@ def render_test_planar(
     dir_src = view_dir if view_dir is not None else d
     dir_emb = (posenc(dir_src, cfg.S_emb_dir, cfg.N_emb_dir)
                if use_viewdir else None)
-    zs, _ = stratified_zs(rng, n, S, 0.0)  # test time: perturb=0
+    # same key-split structure as `render_rays` (the pdf keys are unused
+    # at test time — perturb=0 makes the draws det — but kept symmetric)
+    k_perturb, k_pdf_s, k_pdf_t, _k_rest = jax.random.split(rng, 4)
+    zs, zs_mid = stratified_zs(k_perturb, n, S, 0.0)  # test time: perturb=0
     t_emb = nerf_m.embedding_lookup(embeddings["t"], ts)
     encode_a = cfg.encode_a and "a" in embeddings
     a_emb = nerf_m.embedding_lookup(embeddings["a"], ts) if encode_a else None
+    kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
+                n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
+                flow_scale=cfg.flow_scale,
+                block_rows=4096 if n > 1024 else 2048)
+
+    res: Dict[str, jnp.ndarray] = {}
+    if cfg.N_importance > 0:
+        # coarse-to-fine at test time (`rendering.py:151-162,326-348`):
+        # a planar evaluation of the COARSE model at the stratified zs
+        # (the packed path computes sigma-only; the planar kernel's rgb
+        # heads are one extra layer and its output stays dense), its own
+        # noise-free composite, then DETERMINISTIC static + transient PDF
+        # draws feed the fine pass as an external sorted zs plane. Result
+        # keys mirror the packed test path's coarse set exactly (no
+        # *_rgbs_coarse — the packed coarse pass is sigma-only).
+        if params_coarse is None:
+            raise ValueError(
+                "N_importance > 0 needs params_coarse (the coarse model)")
+        coarse_op = make_planar_nerf_train(
+            S, use_viewdir=use_viewdir, encode_a=False, encode_t=True,
+            output_flow=(), **kker)
+        if mesh is not None:
+            coarse_op = _shard_planar(coarse_op, mesh)
+        cout = coarse_op(params_coarse, o, d, zs, None, dir_emb, None, t_emb)
+        tsig_c = cout["tsig"]
+        if vis_poses is not None:
+            vis_c = _visibility_planes(o, d, zs, jnp.asarray(vis_K),
+                                       cfg.img_wh, vis_poses)
+            tsig_c = jnp.where(vis_c == 0, -10.0, tsig_c)
+        d_s_c, d_t_c = cp.deltas_from_zs(zs)
+        tau_s_c = d_s_c * cp.softplus(cout["ssig"])
+        tau_t_c = d_t_c * cp.softplus(tsig_c)
+        trans_c = cp.transmittance_from_taus(tau_s_c + tau_t_c)
+        sw_c = (1.0 - jnp.exp(-tau_s_c)) * trans_c
+        tw_c = (1.0 - jnp.exp(-tau_t_c)) * trans_c
+        res["zs_coarse"] = zs
+        res["xyzs_coarse"] = jnp.stack(
+            [o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3)], -1)
+        res["static_sigmas_coarse"] = cp.softplus(cout["ssig"])
+        res["transient_sigmas_coarse"] = cp.softplus(tsig_c)
+        res["static_alphas_coarse"] = 1.0 - jnp.exp(-tau_s_c)
+        res["transient_alphas_coarse"] = 1.0 - jnp.exp(-tau_t_c)
+        res["static_weights_coarse"] = sw_c
+        res["transient_weights_coarse"] = tw_c
+        res["weights_coarse"] = (1.0 - jnp.exp(-(tau_s_c + tau_t_c))) * trans_c
+        zs_static = sample_pdf(k_pdf_s, zs_mid, sw_c[:, 1:-1],
+                               cfg.N_importance, det=True)
+        zs_transient = sample_pdf(k_pdf_t, zs_mid, tw_c[:, 1:-1],
+                                  cfg.N_importance, det=True)
+        res["static_zs_fine"] = zs_static
+        res["transient_zs_fine"] = zs_transient
+        zs = jnp.sort(
+            jnp.concatenate([zs, zs_static, zs_transient], -1), -1)
+    Sf = zs.shape[1]  # fine-pass sample count (= S when N_importance == 0)
 
     op = make_planar_nerf_train(
-        S, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
-        output_flow=flow, n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
-        n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
-        flow_scale=cfg.flow_scale,
-        block_rows=4096 if n > 1024 else 2048)
+        Sf, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
+        output_flow=flow, **kker)
     if mesh is not None:
         op = _shard_planar(op, mesh)
     out = op(params_fine, o, d, zs, None, dir_emb, a_emb, t_emb)
 
-    res: Dict[str, jnp.ndarray] = {"zs_fine": zs}
+    res["zs_fine"] = zs
     xyz = tuple(o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3))
 
     tsig_raw = out["tsig"]

@@ -218,6 +218,7 @@ def render_rays(
                 # same result keys (models/raymarch.py)
                 return raymarch.render_test_planar(
                     params["fine"], embeddings, rays, ts, rng, cfg,
+                    params_coarse=params.get("coarse"),
                     output_transient_flow=flow, vis_poses=vis_poses,
                     vis_K=vis_K, view_dir=view_dir, mesh=mesh)
 
@@ -635,7 +636,11 @@ def render_rays(
         xyz_coarse = rays_o[:, None] + rays_d[:, None] * zs[..., None]
         inference(params["coarse"], "coarse", xyz_coarse, zs, (), k_coarse)
 
-        det = cfg.perturb == 0
+        # the reference keys det off the EFFECTIVE perturb — 0 at test
+        # time regardless of the training setting (`rendering.py:337,344`
+        # with eval's perturb=0 default) — so test-time draws are the
+        # evenly-spaced u's, not random
+        det = perturb == 0
         zs_static = sample_pdf(
             k_pdf_s, zs_mid,
             jax.lax.stop_gradient(results["static_weights_coarse"][:, 1:-1]),

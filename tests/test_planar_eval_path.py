@@ -40,14 +40,19 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
-def _render(backend, planar_eval, **kw):
+def _render(backend, planar_eval, n_importance=0, **kw):
     params = {"fine": _params()}
+    if n_importance > 0:
+        params["coarse"] = nerf_m.init_nerf_params(
+            jax.random.PRNGKey(3), "coarse", use_viewdir=True,
+            encode_transient=True, in_channels_t=16)
     emb = {"t": nerf_m.init_embedding(jax.random.PRNGKey(2), 4, 16)}
     rays = _rays()
     ts = jnp.array([0, 1, 2, 3, 2, 1])
     return render_rays(
         params, emb, rays, ts, jax.random.PRNGKey(0),
-        _cfg(mlp_backend=backend, planar_eval=planar_eval),
+        _cfg(mlp_backend=backend, planar_eval=planar_eval,
+             N_importance=n_importance),
         test_time=True, output_transient=True, **kw)
 
 
@@ -75,6 +80,60 @@ def test_planar_eval_matches_xla_all_keys():
         assert out_p[k].shape == out_x[k].shape, k
         # the planar kernel computes in bf16 (f32 accum) — bf16-level
         # tolerances, as in tests/test_planar_path.py
+        np.testing.assert_allclose(
+            np.asarray(out_p[k], np.float32),
+            np.asarray(out_x[k], np.float32), rtol=2e-2, atol=6e-3,
+            err_msg=k)
+
+
+COARSE_KEYS = (
+    "zs_coarse", "xyzs_coarse", "static_sigmas_coarse",
+    "transient_sigmas_coarse", "static_alphas_coarse",
+    "transient_alphas_coarse", "static_weights_coarse",
+    "transient_weights_coarse", "weights_coarse",
+    "static_zs_fine", "transient_zs_fine",
+)
+
+
+def test_planar_eval_c2f_matches_xla_all_keys():
+    """Coarse-to-fine at test time (`rendering.py:151-162,326-348`): the
+    planar path's coarse composite, deterministic PDF draws, and fine pass
+    over the sorted union must equal the packed path key-for-key —
+    including the coarse result keys and the pdf-draw keys. The coarse
+    key SET must also match exactly (the packed coarse pass is
+    sigma-only: no *_rgbs_coarse on either path)."""
+    out_x = _render("xla", "off", n_importance=4,
+                    output_transient_flow=("fw", "bw"))
+    out_p = _render("pallas", "auto", n_importance=4,
+                    output_transient_flow=("fw", "bw"))
+    assert "static_rgbs_coarse" not in out_x
+    assert "static_rgbs_coarse" not in out_p
+    for k in COARSE_KEYS + FLOW_KEYS:
+        assert k in out_p, k
+        assert out_p[k].shape == out_x[k].shape, k
+        np.testing.assert_allclose(
+            np.asarray(out_p[k], np.float32),
+            np.asarray(out_x[k], np.float32), rtol=2e-2, atol=6e-3,
+            err_msg=k)
+    # the fine pass really ran over S + 2*N_importance sorted samples
+    assert out_p["zs_fine"].shape == (6, S + 8)
+    assert bool(jnp.all(jnp.diff(out_p["zs_fine"], axis=-1) >= 0))
+
+
+def test_planar_eval_c2f_visibility_culls_coarse():
+    """Test-time culling applies to the COARSE transient sigmas too
+    (`rendering.py:191-200` runs inside every inference pass), steering
+    the transient pdf draws identically on both paths."""
+    vis_poses = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    vis_K = jnp.asarray(np.array([[20.0, 0, 8], [0, 20, 6], [0, 0, 1]],
+                                 np.float32))
+    kw = dict(n_importance=4, output_transient_flow=(),
+              vis_poses=vis_poses, vis_K=vis_K)
+    out_x = _render("xla", "off", **kw)
+    out_p = _render("pallas", "auto", **kw)
+    assert float(jnp.min(out_x["transient_sigmas_coarse"])) < 1e-4
+    for k in ("transient_sigmas_coarse", "transient_zs_fine", "rgb_fine",
+              "depth_fine"):
         np.testing.assert_allclose(
             np.asarray(out_p[k], np.float32),
             np.asarray(out_x[k], np.float32), rtol=2e-2, atol=6e-3,
