@@ -205,6 +205,17 @@ def main(args):
         rcfg, test_time=True, output_transient=output_transient,
         output_transient_flow=flow,
         with_visibility=output_transient, keys=keys, mesh=mesh)
+    from nsff_pl_tpu.models.rendering import planar_eval_decision
+    engaged, why = planar_eval_decision(
+        rcfg, output_transient and rcfg.encode_t)
+    print(f"render path: {'planar fused kernel' if engaged else 'packed'}"
+          + ("" if engaged else f" ({'; '.join(why)})"), flush=True)
+    if rcfg.planar_eval == "on" and not engaged:
+        import warnings
+        warnings.warn(
+            "--planar_eval on requested but the planar test path cannot "
+            f"serve this configuration: {'; '.join(why)} — falling back "
+            "to the packed path")
     rng = jax.random.PRNGKey(42)
     vis_K = jnp.asarray(dataset.K)
 

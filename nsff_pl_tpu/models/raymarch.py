@@ -82,21 +82,26 @@ def test_planar_unapplicable_reasons(cfg: RenderConfig,
     """Why the planar TEST path does not cover this configuration (empty
     = applicable). Unlike the train gate, flows are optional here: the
     test path never warps (`/root/reference/models/rendering.py:217`
-    gate), so fw/bw only add head outputs."""
+    gate), so fw/bw only add head outputs. `output_transient=False`
+    (the eval CLI's default test protocol, `/root/reference/eval.py:61`)
+    renders the static tower only — covered with a single-field
+    composite and one importance draw."""
     reasons = []
-    if not (cfg.encode_t and output_transient):
-        reasons.append("no transient branch")
     if jax.default_backend() != "cpu":
         if cfg.N_samples % 128 != 0:
             reasons.append(f"N_samples={cfg.N_samples}: {LANE_REASON}")
         if cfg.N_importance > 0:
-            # fine pass renders N_samples + 2*N_importance sorted samples
-            # (static + transient importance draws, `rendering.py:326-348`)
-            s_fine = cfg.N_samples + 2 * cfg.N_importance
+            # the fine pass renders the sorted union of the stratified
+            # zs + one importance draw per rendered field: static +
+            # transient when output_transient, static-only otherwise
+            # (`rendering.py:326-348`)
+            n_draws = 2 if output_transient else 1
+            s_fine = cfg.N_samples + n_draws * cfg.N_importance
             if s_fine % 128 != 0:
                 reasons.append(
                     f"coarse-to-fine fine pass S={s_fine}: {LANE_REASON} "
-                    f"(needs (N_samples + 2*N_importance) % 128 == 0)")
+                    f"(needs (N_samples + {n_draws}*N_importance) % 128"
+                    " == 0)")
     return reasons
 
 
@@ -148,6 +153,7 @@ def render_test_planar(
     cfg: RenderConfig,
     *,
     params_coarse: nerf_m.Params = None,
+    output_transient: bool = True,
     output_transient_flow=(),
     vis_poses=None,
     vis_K=None,
@@ -161,10 +167,15 @@ def render_test_planar(
     dual-tower evaluation per sample — the reference's test path skips
     the warped renders (`/root/reference/models/rendering.py:217`) but
     keeps the flow heads — plus visibility culling (`rendering.py:191-200`)
-    and all composite maps (`rendering.py:256-295`). Every per-sample
-    quantity is a dense (N, S) plane; the (N, S, 3) result keys are
-    assembled at the end and DCE'd by XLA when the caller's key filter
-    drops them (`training/step.py::make_render_fn` filters inside jit).
+    and all composite maps (`rendering.py:256-295`). With
+    `output_transient=False` (the eval CLI's default test protocol,
+    `/root/reference/eval.py:61,140`) only the static tower evaluates and
+    composites, exactly like the packed path's single-field branch
+    (`models/rendering.py` inference with output_transient=False). Every
+    per-sample quantity is a dense (N, S) plane; the (N, S, 3) result
+    keys are assembled at the end and DCE'd by XLA when the caller's key
+    filter drops them (`training/step.py::make_render_fn` filters inside
+    jit).
 
     Vs the packed eval path this avoids materializing xyz (N, S, 3) and
     the packed (rows, 16) kernel output — both lane-pad their minor dim
@@ -173,7 +184,8 @@ def render_test_planar(
     n = rays.shape[0]
     S = cfg.N_samples
     o, d = rays[:, 0:3], rays[:, 3:6]
-    flow = tuple(f for f in output_transient_flow if f in ("fw", "bw"))
+    flow = (tuple(f for f in output_transient_flow if f in ("fw", "bw"))
+            if output_transient else ())
     use_viewdir = cfg.use_viewdir
     dir_src = view_dir if view_dir is not None else d
     dir_emb = (posenc(dir_src, cfg.S_emb_dir, cfg.N_emb_dir)
@@ -182,8 +194,9 @@ def render_test_planar(
     # at test time — perturb=0 makes the draws det — but kept symmetric)
     k_perturb, k_pdf_s, k_pdf_t, _k_rest = jax.random.split(rng, 4)
     zs, zs_mid = stratified_zs(k_perturb, n, S, 0.0)  # test time: perturb=0
-    t_emb = nerf_m.embedding_lookup(embeddings["t"], ts)
-    encode_a = cfg.encode_a and "a" in embeddings
+    t_emb = (nerf_m.embedding_lookup(embeddings["t"], ts)
+             if output_transient else None)
+    encode_a = cfg.encode_a and "a" in embeddings and ts is not None
     a_emb = nerf_m.embedding_lookup(embeddings["a"], ts) if encode_a else None
     kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
@@ -204,51 +217,78 @@ def render_test_planar(
             raise ValueError(
                 "N_importance > 0 needs params_coarse (the coarse model)")
         coarse_op = make_planar_nerf_train(
-            S, use_viewdir=use_viewdir, encode_a=False, encode_t=True,
-            output_flow=(), **kker)
+            S, use_viewdir=use_viewdir, encode_a=False,
+            encode_t=output_transient, output_flow=(), **kker)
         if mesh is not None:
             coarse_op = _shard_planar(coarse_op, mesh)
         cout = coarse_op(params_coarse, o, d, zs, None, dir_emb, None, t_emb)
-        tsig_c = cout["tsig"]
-        if vis_poses is not None:
-            vis_c = _visibility_planes(o, d, zs, jnp.asarray(vis_K),
-                                       cfg.img_wh, vis_poses)
-            tsig_c = jnp.where(vis_c == 0, -10.0, tsig_c)
         d_s_c, d_t_c = cp.deltas_from_zs(zs)
         tau_s_c = d_s_c * cp.softplus(cout["ssig"])
-        tau_t_c = d_t_c * cp.softplus(tsig_c)
-        trans_c = cp.transmittance_from_taus(tau_s_c + tau_t_c)
-        sw_c = (1.0 - jnp.exp(-tau_s_c)) * trans_c
-        tw_c = (1.0 - jnp.exp(-tau_t_c)) * trans_c
         res["zs_coarse"] = zs
         res["xyzs_coarse"] = jnp.stack(
             [o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3)], -1)
         res["static_sigmas_coarse"] = cp.softplus(cout["ssig"])
-        res["transient_sigmas_coarse"] = cp.softplus(tsig_c)
-        res["static_alphas_coarse"] = 1.0 - jnp.exp(-tau_s_c)
-        res["transient_alphas_coarse"] = 1.0 - jnp.exp(-tau_t_c)
-        res["static_weights_coarse"] = sw_c
-        res["transient_weights_coarse"] = tw_c
-        res["weights_coarse"] = (1.0 - jnp.exp(-(tau_s_c + tau_t_c))) * trans_c
+        zs_list = [zs]
+        if output_transient:
+            tsig_c = cout["tsig"]
+            if vis_poses is not None:
+                vis_c = _visibility_planes(o, d, zs, jnp.asarray(vis_K),
+                                           cfg.img_wh, vis_poses)
+                tsig_c = jnp.where(vis_c == 0, -10.0, tsig_c)
+            tau_t_c = d_t_c * cp.softplus(tsig_c)
+            trans_c = cp.transmittance_from_taus(tau_s_c + tau_t_c)
+            sw_c = (1.0 - jnp.exp(-tau_s_c)) * trans_c
+            tw_c = (1.0 - jnp.exp(-tau_t_c)) * trans_c
+            res["transient_sigmas_coarse"] = cp.softplus(tsig_c)
+            res["static_alphas_coarse"] = 1.0 - jnp.exp(-tau_s_c)
+            res["transient_alphas_coarse"] = 1.0 - jnp.exp(-tau_t_c)
+            res["static_weights_coarse"] = sw_c
+            res["transient_weights_coarse"] = tw_c
+            res["weights_coarse"] = (
+                1.0 - jnp.exp(-(tau_s_c + tau_t_c))) * trans_c
+        else:
+            # single-field composite (`models/rendering.py` inference,
+            # output_transient=False: static_weights_coarse = weights)
+            trans_c = cp.transmittance_from_taus(tau_s_c)
+            sw_c = (1.0 - jnp.exp(-tau_s_c)) * trans_c
+            res["static_weights_coarse"] = sw_c
         zs_static = sample_pdf(k_pdf_s, zs_mid, sw_c[:, 1:-1],
                                cfg.N_importance, det=True)
-        zs_transient = sample_pdf(k_pdf_t, zs_mid, tw_c[:, 1:-1],
-                                  cfg.N_importance, det=True)
         res["static_zs_fine"] = zs_static
-        res["transient_zs_fine"] = zs_transient
-        zs = jnp.sort(
-            jnp.concatenate([zs, zs_static, zs_transient], -1), -1)
+        zs_list.append(zs_static)
+        if output_transient:
+            zs_transient = sample_pdf(k_pdf_t, zs_mid, tw_c[:, 1:-1],
+                                      cfg.N_importance, det=True)
+            res["transient_zs_fine"] = zs_transient
+            zs_list.append(zs_transient)
+        zs = jnp.sort(jnp.concatenate(zs_list, -1), -1)
     Sf = zs.shape[1]  # fine-pass sample count (= S when N_importance == 0)
 
     op = make_planar_nerf_train(
-        Sf, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
-        output_flow=flow, **kker)
+        Sf, use_viewdir=use_viewdir, encode_a=encode_a,
+        encode_t=output_transient, output_flow=flow, **kker)
     if mesh is not None:
         op = _shard_planar(op, mesh)
     out = op(params_fine, o, d, zs, None, dir_emb, a_emb, t_emb)
 
     res["zs_fine"] = zs
     xyz = tuple(o[:, c:c + 1] + d[:, c:c + 1] * zs for c in range(3))
+    srgb = (out["srgb_r"], out["srgb_g"], out["srgb_b"])
+
+    if not output_transient:
+        # single-field composite (`models/rendering.py` inference,
+        # output_transient=False path: static_weights_fine = weights,
+        # rgb = sum(w * static_rgbs))
+        d_s, _d_t = cp.deltas_from_zs(zs)
+        tau_s = d_s * cp.softplus(out["ssig"])
+        w = (1.0 - jnp.exp(-tau_s)) * cp.transmittance_from_taus(tau_s)
+        res["rgb_fine"] = jnp.stack([jnp.sum(w * c, -1) for c in srgb], -1)
+        res["depth_fine"] = jnp.sum(w * zs, -1)
+        res["xyzs_fine"] = jnp.stack(xyz, -1)
+        res["static_rgbs_fine"] = jnp.stack(srgb, -1)
+        res["static_sigmas_fine"] = cp.softplus(out["ssig"])
+        res["static_weights_fine"] = w
+        return res
 
     tsig_raw = out["tsig"]
     if vis_poses is not None:
@@ -269,7 +309,6 @@ def render_test_planar(
     tw = transient_alphas * trans
     w = alphas * trans
 
-    srgb = (out["srgb_r"], out["srgb_g"], out["srgb_b"])
     trgb = (out["trgb_r"], out["trgb_g"], out["trgb_b"])
     res["rgb_fine"] = jnp.stack(
         [jnp.sum(sw * sc + tw * tc, -1) for sc, tc in zip(srgb, trgb)], -1)

@@ -153,6 +153,37 @@ def _shard_comp(fn, mesh):
                      out_specs=ray, check_vma=False)
 
 
+def planar_eval_decision(cfg: RenderConfig, output_transient: bool):
+    """Whether the planar no-grad test path will serve this render, and
+    why not otherwise. Single source of truth for the `render_rays`
+    test-time dispatch and the eval CLI's path breadcrumb.
+
+    Returns (engaged, reasons): `engaged` is True when
+    `raymarch.render_test_planar` handles the render; `reasons` lists the
+    blockers (empty when engaged, or when only the backend preference —
+    planar_eval='auto' with a non-Pallas eval backend — stands down)."""
+    if cfg.planar_eval == "off":
+        return False, ["planar_eval='off'"]
+    if cfg.planar_eval not in ("auto", "on"):
+        raise ValueError(f"unknown planar_eval {cfg.planar_eval!r}")
+    from nsff_pl_tpu.models import raymarch
+
+    reasons = raymarch.test_planar_unapplicable_reasons(cfg, output_transient)
+    if reasons:
+        return False, reasons
+    eff = cfg.mlp_backend
+    if eff == "auto":
+        eff = ("pallas" if (jax.default_backend() != "cpu"
+                            and cfg.compute_dtype == "bfloat16")
+               else "xla")
+    # 'on' forces the planar kernel path (interpret mode off-TPU);
+    # 'auto' takes it only when the Pallas eval backend is active
+    if cfg.planar_eval == "on" or eff == "pallas":
+        return True, []
+    return False, [f"planar_eval='auto' with the {eff} eval backend "
+                   "(pass --planar_eval on to force)"]
+
+
 def _expand(v, n_samples: int):
     """(N, C) per-ray vector -> (N, S, C) per-sample (repeat over samples,
     cf. the reference's einops `repeat` at `rendering.py:153,164-168`)."""
@@ -198,29 +229,19 @@ def render_rays(
     flow = tuple(output_transient_flow) if output_transient else ()
     n_rays = rays.shape[0]
 
-    if test_time and cfg.planar_eval != "off":
-        if cfg.planar_eval not in ("auto", "on"):
-            raise ValueError(f"unknown planar_eval {cfg.planar_eval!r}")
-        eff = cfg.mlp_backend
-        if eff == "auto":
-            eff = ("pallas" if (jax.default_backend() != "cpu"
-                                and cfg.compute_dtype == "bfloat16")
-                   else "xla")
-        # 'on' forces the planar kernel path (interpret mode off-TPU);
-        # 'auto' takes it only when the Pallas eval backend is active
-        if cfg.planar_eval == "on" or eff == "pallas":
-            from nsff_pl_tpu.models import raymarch
+    if test_time and planar_eval_decision(cfg, output_transient)[0]:
+        from nsff_pl_tpu.models import raymarch
 
-            if not raymarch.test_planar_unapplicable_reasons(
-                    cfg, output_transient):
-                # planar no-grad path: in-kernel xyz assembly, dense
-                # (N, S) plane boundaries (no packed (rows, 16) output),
-                # same result keys (models/raymarch.py)
-                return raymarch.render_test_planar(
-                    params["fine"], embeddings, rays, ts, rng, cfg,
-                    params_coarse=params.get("coarse"),
-                    output_transient_flow=flow, vis_poses=vis_poses,
-                    vis_K=vis_K, view_dir=view_dir, mesh=mesh)
+        # planar no-grad path: in-kernel xyz assembly, dense (N, S)
+        # plane boundaries (no packed (rows, 16) output), same result
+        # keys (models/raymarch.py); static-only when
+        # output_transient=False (the eval CLI default)
+        return raymarch.render_test_planar(
+            params["fine"], embeddings, rays, ts, rng, cfg,
+            params_coarse=params.get("coarse"),
+            output_transient=output_transient,
+            output_transient_flow=flow, vis_poses=vis_poses,
+            vis_K=vis_K, view_dir=view_dir, mesh=mesh)
 
     results: Dict[str, jnp.ndarray] = {}
 

@@ -176,6 +176,65 @@ def test_planar_eval_view_dir_override():
                                np.asarray(out_xv["rgb_fine"]), atol=6e-3)
 
 
+STATIC_ONLY_KEYS = (
+    "zs_fine", "xyzs_fine", "static_rgbs_fine", "static_sigmas_fine",
+    "static_weights_fine", "rgb_fine", "depth_fine",
+)
+
+
+def _render_static(backend, planar_eval, n_importance=0, **kw):
+    """output_transient=False — the eval CLI's default test protocol
+    (`/root/reference/eval.py:61,140`): static tower only."""
+    params = {"fine": _params()}
+    if n_importance > 0:
+        params["coarse"] = nerf_m.init_nerf_params(
+            jax.random.PRNGKey(3), "coarse", use_viewdir=True,
+            encode_transient=True, in_channels_t=16)
+    emb = {"t": nerf_m.init_embedding(jax.random.PRNGKey(2), 4, 16)}
+    return render_rays(
+        params, emb, _rays(), jnp.array([0, 1, 2, 3, 2, 1]),
+        jax.random.PRNGKey(0),
+        _cfg(mlp_backend=backend, planar_eval=planar_eval,
+             N_importance=n_importance),
+        test_time=True, output_transient=False, **kw)
+
+
+def test_planar_eval_static_only_matches_xla():
+    """The planar test path serves output_transient=False renders with a
+    single-field composite, key-set-exact vs the packed path (which emits
+    static_weights_fine = weights and NO transient/weights_fine keys for
+    this protocol)."""
+    out_x = _render_static("xla", "off")
+    out_p = _render_static("pallas", "auto")
+    assert set(out_p) == set(out_x)
+    for k in STATIC_ONLY_KEYS:
+        assert out_p[k].shape == out_x[k].shape, k
+        np.testing.assert_allclose(
+            np.asarray(out_p[k], np.float32),
+            np.asarray(out_x[k], np.float32), rtol=2e-2, atol=6e-3,
+            err_msg=k)
+
+
+def test_planar_eval_static_only_c2f_matches_xla():
+    """Static-only coarse-to-fine: the coarse pass composites one field,
+    draws ONE importance set (static only — `rendering.py:326-339` with
+    output_transient=False), and the fine pass runs S + N_importance
+    sorted samples. Key set and values match the packed path."""
+    out_x = _render_static("xla", "off", n_importance=4)
+    out_p = _render_static("pallas", "auto", n_importance=4)
+    assert set(out_p) == set(out_x)
+    assert "transient_zs_fine" not in out_p
+    assert out_p["zs_fine"].shape == (6, S + 4)
+    assert bool(jnp.all(jnp.diff(out_p["zs_fine"], axis=-1) >= 0))
+    for k in STATIC_ONLY_KEYS + ("zs_coarse", "static_sigmas_coarse",
+                                 "static_weights_coarse", "static_zs_fine"):
+        assert out_p[k].shape == out_x[k].shape, k
+        np.testing.assert_allclose(
+            np.asarray(out_p[k], np.float32),
+            np.asarray(out_x[k], np.float32), rtol=2e-2, atol=6e-3,
+            err_msg=k)
+
+
 def test_planar_eval_off_gate():
     """planar_eval='off' keeps the packed path (its extra raw keys are
     present; the planar path emits no packed-only intermediates)."""
