@@ -188,12 +188,15 @@ def measure_render(n_rays: int = 8192, n_samples: int = 128,
 
 
 def measure_render_frame(w: int = 512, h: int = 288, chunk: int = 32768,
-                         iters: int = 5) -> float:
+                         iters: int = 5,
+                         output_transient: bool = True) -> float:
     """Seconds per full test-image render (w*h rays) through the SAME
     chunked path `apps/evaluate.py` uses (`make_render_fn` +
     `render_full_image`, eval-default chunk). The reference renders
     full frames via per-chunk `.cpu()` round trips
-    (`/root/reference/eval.py:81-110`)."""
+    (`/root/reference/eval.py:81-110`). `output_transient=False` is the
+    eval CLI's default test protocol (static tower only,
+    `/root/reference/eval.py:61,140`) — half the tower FLOPs/sample."""
     import jax
     import jax.numpy as jnp
 
@@ -216,7 +219,7 @@ def measure_render_frame(w: int = 512, h: int = 288, chunk: int = 32768,
     ts = jnp.zeros((n,), jnp.int32)
     cfg = RenderConfig(N_samples=128, use_viewdir=True, encode_t=True,
                        max_t=29, img_wh=(w, h), compute_dtype="bfloat16")
-    render = make_render_fn(cfg, output_transient=True,
+    render = make_render_fn(cfg, output_transient=output_transient,
                             keys=("rgb_fine", "depth_fine"))
     out = render_full_image(render, params, rays, ts, key, chunk=chunk)
     float(jnp.sum(out["rgb_fine"]))  # warmup / compile (forced)
@@ -253,6 +256,10 @@ def _stage_main(stage: str):
         print(f"STAGE_RESULT {json.dumps({'rays_per_sec': rps})}", flush=True)
     elif stage == "render_frame":
         spf = _retry(measure_render_frame, tag="render_frame")
+        print(f"STAGE_RESULT {json.dumps({'s_per_frame': spf})}", flush=True)
+    elif stage == "render_frame_static":
+        spf = _retry(lambda: measure_render_frame(output_transient=False),
+                     tag="render_frame_static")
         print(f"STAGE_RESULT {json.dumps({'s_per_frame': spf})}", flush=True)
     elif stage.startswith("batch:"):
         parts = stage.split(":")
@@ -318,6 +325,13 @@ def main():
         print(f"# render full 512x288 frame (147,456 rays, eval chunked "
               f"path): {r['s_per_frame']:.3f} s/frame", flush=True)
         render_rows["render_s_per_frame_512x288"] = round(
+            r["s_per_frame"], 4)
+    r = _run_stage("render_frame_static")
+    if r is not None:
+        print(f"# render full 512x288 frame, static-only (the eval-CLI "
+              f"default protocol): {r['s_per_frame']:.3f} s/frame",
+              flush=True)
+        render_rows["render_s_per_frame_512x288_static"] = round(
             r["s_per_frame"], 4)
     best = 0.0
     best_cfg = None
