@@ -99,6 +99,12 @@ class NSFFConfig:
     # warp directions per ray), 2 = one direction per ray at 2x loss
     # weight (~25% train FLOP cut; see RenderConfig.warp_subsample)
     warp_subsample: int = 1
+    # importance-concentrated warp evaluation on the planar path:
+    # 0 = off (exact); f in (0, 1] evaluates BOTH warp directions on
+    # K = round(f*batch) rays drawn by transient-weight importance with
+    # unbiased Horvitz-Thompson loss weighting (~25% train FLOP cut at
+    # f=0.5; see RenderConfig.warp_importance)
+    warp_importance: float = 0.0
     dtype: str = "float32"  # compute dtype for MLP matmuls: 'float32'|'bfloat16'
     seed: int = 42  # train.py:32 seed_everything(42)
     log_dir: str = "logs"
@@ -262,6 +268,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "per step at 2x loss weight (planar path "
                              "only; ~25%% train FLOP cut, expectation-"
                              "equal loss)")
+    parser.add_argument("--warp_importance", type=float, default=0.0,
+                        help="importance-concentrated warp evaluation "
+                             "(planar path only): f in (0, 1] evaluates "
+                             "both warp directions on round(f*batch) "
+                             "transient-weighted rays with unbiased HT "
+                             "loss weights (~25%% train FLOP cut at 0.5)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=42)

@@ -371,6 +371,45 @@ def _shard_planar(fn, mesh):
                      out_specs=ray, check_vma=False)
 
 
+def _importance_select(scores, K: int, key):
+    """Horvitz-Thompson ray selection for the importance-concentrated
+    warp estimator (RenderConfig.warp_importance).
+
+    Draws exactly K ray slots by SYSTEMATIC sampling over inclusion
+    intensities pi_i ~ K * scores_i / sum(scores), redistributed so
+    pi <= 1 where possible (a ray with pi > 1 after redistribution is
+    simply drawn multiple times — still unbiased). Returns (idx, v) with
+    E[sum_k v_k f(idx_k)] = sum_i f(i) for any per-ray f, because the
+    systematic draw over the cumulative pi mass hits ray i with expected
+    multiplicity pi_i and v = scale / pi[idx].
+
+    All outputs are selection constants (no gradient path; callers pass
+    stop-gradient scores)."""
+    n = scores.shape[0]
+    if K >= n:
+        # full capacity: the capped fixpoint is pi = 1 everywhere —
+        # identity selection with unit weights (the exact estimator)
+        return jnp.arange(n), jnp.ones((n,), jnp.float32)
+    s = jnp.maximum(jax.lax.stop_gradient(scores), 1e-12)
+    pi = K * s / jnp.sum(s)
+    for _ in range(4):
+        # redistribute the capped mass onto the free rays; converges in
+        # a few rounds (the capped set only grows), and any residual
+        # pi > 1 is handled by multiplicity, so early exit is unbiased
+        capped = (pi >= 1.0).astype(jnp.float32)
+        free_K = K - jnp.sum(capped)
+        denom = jnp.maximum(jnp.sum(s * (1.0 - capped)), 1e-12)
+        pi = jnp.where(capped > 0, 1.0, s * free_K / denom)
+    pi = jnp.maximum(pi, 0.5 / n)  # keep every ray reachable (HT support)
+    cum = jnp.cumsum(pi)
+    scale = cum[-1] / K  # = 1 up to the support floor
+    u = jax.random.uniform(key, ())
+    pos = (jnp.arange(K, dtype=jnp.float32) + u) * scale
+    idx = jnp.clip(jnp.searchsorted(cum, pos, side="right"), 0, n - 1)
+    v = scale / pi[idx]
+    return idx, v
+
+
 def render_train_planar(
     params_fine: nerf_m.Params,
     embeddings: Dict[str, jnp.ndarray],
@@ -414,10 +453,11 @@ def render_train_planar(
     k_noise_s, k_noise_t, k_fw, k_bw = jax.random.split(k_fine, 4)
     noise_std = cfg.noise_std
 
-    def noise(k, s_count):
+    def noise(k, s_count, rows=None):
+        rows = n if rows is None else rows
         if noise_std <= 0:
-            return jnp.zeros((n, s_count))
-        return jax.random.normal(k, (n, s_count)) * noise_std
+            return jnp.zeros((rows, s_count))
+        return jax.random.normal(k, (rows, s_count)) * noise_std
 
     kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
@@ -471,10 +511,21 @@ def render_train_planar(
     Sf = zs.shape[1]  # fine-pass sample count (= S when N_importance == 0)
 
     ws = cfg.warp_subsample
+    wi = float(cfg.warp_importance)
     if ws not in (1, 2):
         raise ValueError(f"warp_subsample must be 1 or 2, got {ws}")
     if ws == 2 and n % 2:
         raise ValueError("warp_subsample=2 needs an even ray batch")
+    if wi and ws != 1:
+        raise ValueError(
+            "warp_importance and warp_subsample=2 are mutually exclusive")
+    if not 0.0 <= wi <= 1.0:
+        raise ValueError(f"warp_importance must be in [0, 1], got {wi}")
+    K_imp = max(int(round(wi * n)), 1) if wi else 0
+    if wi and mesh is not None and K_imp % mesh.size:
+        raise ValueError(
+            f"warp_importance={wi}: K = {K_imp} selected rays must "
+            f"divide the {mesh.size}-device mesh")
     main_op = make_planar_nerf_train(
         Sf, use_viewdir=use_viewdir, encode_a=encode_a, encode_t=True,
         output_flow=("fw", "bw"),
@@ -482,9 +533,10 @@ def render_train_planar(
     warp_kw = dict(static_branch=False, flow_in=True, encode_t=True,
                    block_rows=4096 if big else 2048,
                    bwd_block_rows=2048 if big else 1024, **kker)
-    if ws == 2:
-        # ONE warp evaluation per ray (see RenderConfig.warp_subsample):
-        # both flow heads so each half can read the opposite direction
+    if ws == 2 or wi:
+        # ONE stacked warp evaluation (see RenderConfig.warp_subsample /
+        # .warp_importance): both flow heads so every row can read the
+        # opposite direction for cycle consistency
         warp_ops = {"both": make_planar_nerf_train(
             Sf, output_flow=("fw", "bw"), **warp_kw)}
     else:
@@ -540,9 +592,11 @@ def render_train_planar(
         flow_back = tuple(jnp.where(far, 0.0, jnp.concatenate(
             [out_w[f"fbw_{c}"][:n2], out_w[f"ffw_{c}"][n2:]], 0))
             for c in ("x", "y", "z"))
-    else:
+    elif not wi:
         out_w1, flowb_fw = warp_eval(ffw, +1, "bw")
         out_w2, flowb_bw = warp_eval(fbw, -1, "fw")
+    # wi > 0: the warp evaluation happens AFTER the main composite — the
+    # selection scores are the composited transient weights
 
     use_ck = (cfg.planar_compositing == "on"
               or (cfg.planar_compositing == "auto"
@@ -556,7 +610,17 @@ def render_train_planar(
         for c in "rgb":
             comp_in[f"srgb_{c}"] = main[f"srgb_{c}"]
             comp_in[f"trgb_{c}"] = main[f"trgb_{c}"]
-        if ws == 2:
+        if wi:
+            # importance mode: the warps are composited separately on the
+            # selected ray set (below); here the w1/w2 slots carry the
+            # main planes and their outputs are discarded (zero
+            # cotangents, so no gradient doubling — same trick as ws2)
+            comp_in.update(tsig_w1=main["tsig"], tsig_w2=main["tsig"],
+                           nw1=comp_in["nt"], nw2=comp_in["nt"])
+            for c in "rgb":
+                comp_in[f"trgb_w1_{c}"] = main[f"trgb_{c}"]
+                comp_in[f"trgb_w2_{c}"] = main[f"trgb_{c}"]
+        elif ws == 2:
             # the single warp evaluation rides the w1 slot; w2 gets the
             # same planes and its outputs are discarded (their cotangents
             # are zero, so no gradient doubling). The duplicate composite
@@ -590,7 +654,9 @@ def render_train_planar(
         maps = comp["maps"]
         res["rgb_fine"] = maps[:, 0:3]
         res["depth_fine"] = maps[:, 3]
-        if ws == 2:
+        if wi:
+            pass  # warp maps come from the gathered composite below
+        elif ws == 2:
             res["rgb_w"] = maps[:, 4:7]
             tw_w = comp["tw_w1"]
         else:
@@ -599,8 +665,10 @@ def render_train_planar(
             res["rgb_bw"] = maps[:, 7:10]
     else:
         d_s, d_t = cp.deltas_from_zs(zs)
-        tau_s = d_s * cp.softplus(main["ssig"] + noise(k_noise_s, Sf))
-        tau_t = d_t * cp.softplus(main["tsig"] + noise(k_noise_t, Sf))
+        ns = noise(k_noise_s, Sf)
+        nt = noise(k_noise_t, Sf)
+        tau_s = d_s * cp.softplus(main["ssig"] + ns)
+        tau_t = d_t * cp.softplus(main["tsig"] + nt)
         static_alphas = 1.0 - jnp.exp(-tau_s)
         transient_alphas = 1.0 - jnp.exp(-tau_t)
         # alpha = 1-(1-a_s)(1-a_t) = 1-exp(-(tau_s+tau_t)); T via the
@@ -628,7 +696,9 @@ def render_train_planar(
                  for sc, c in zip(srgb, "rgb")], -1)
             return rgb_w, tw_w
 
-        if ws == 2:
+        if wi:
+            pass  # warps composite on the gathered ray set below
+        elif ws == 2:
             res["rgb_w"], tw_w = warp_composite(out_w, k_fw)
         else:
             res["rgb_fw"], tw_fw = warp_composite(out_w1, k_fw)
@@ -637,6 +707,116 @@ def render_train_planar(
     res["static_weights"] = sw
     res["transient_weights"] = tw
     res["weights"] = w
+
+    if wi:
+        # ---- importance-concentrated warp evaluation ----
+        # (RenderConfig.warp_importance). Scores: composited transient
+        # weight mass per ray (stop-grad) + a floor keeping static rays
+        # in the HT support — the pho/cyc integrands
+        # (`/root/reference/losses.py:126-141`) vanish where the
+        # transient field is empty, so concentrating the warp FLOPs on
+        # transient-heavy rays cuts estimator variance at equal cost vs
+        # the uniform half split (warp_subsample=2), and every selected
+        # ray keeps BOTH directions (the fw/bw pairing the cycle term
+        # wants, `rendering.py:217-232`).
+        K = K_imp
+        scores = jax.lax.stop_gradient(jnp.sum(tw, -1)) + 0.05
+        idx, v = _importance_select(scores, K,
+                                    jax.random.fold_in(k_rest, 7))
+        res["warp_idx"], res["warp_v"] = idx, v
+
+        o_g, d_g, zs_g = o[idx], d[idx], zs[idx]
+        ffw_g = tuple(f[idx] for f in ffw)
+        fbw_g = tuple(f[idx] for f in fbw)
+        far_g = zs_g > Z_FAR
+        ts_g = ts[idx]
+
+        # stacked both-direction warp rows: [0, K) = fw @ t+1,
+        # [K, 2K) = bw @ t-1 (`render_transient_warping`,
+        # `/root/reference/models/rendering.py:98-140`)
+        def two(a):
+            return jnp.concatenate([a, a], 0)
+
+        flows2 = tuple(jnp.concatenate([f, b], 0)
+                       for f, b in zip(ffw_g, fbw_g))
+        ts2 = jnp.concatenate([jnp.clip(ts_g + 1, 0, cfg.max_t),
+                               jnp.clip(ts_g - 1, 0, cfg.max_t)], 0)
+        t_emb2 = nerf_m.embedding_lookup(embeddings["t"], ts2)
+        out_w = warp_ops["both"](params_fine, two(o_g), two(d_g),
+                                 two(zs_g), flows2, None, None, t_emb2)
+        # cycle consistency reads the OPPOSITE-direction flow at the
+        # warped position (`rendering.py:135-140`)
+        flowb_fw_g = tuple(jnp.where(far_g, 0.0, out_w[f"fbw_{c}"][:K])
+                           for c in ("x", "y", "z"))
+        flowb_bw_g = tuple(jnp.where(far_g, 0.0, out_w[f"ffw_{c}"][K:])
+                           for c in ("x", "y", "z"))
+
+        nw1 = noise(k_fw, Sf, K)
+        nw2 = noise(k_bw, Sf, K)
+        ns_f = comp_in["ns"] if use_ck else ns
+        nt_f = comp_in["nt"] if use_ck else nt
+        ssig_g, tsig_g = main["ssig"][idx], main["tsig"][idx]
+        ns_g, nt_g = ns_f[idx], nt_f[idx]
+        srgb_g = tuple(p[idx] for p in srgb)
+        if use_ck:
+            comp_in_g = {"zs": zs_g, "ssig": ssig_g, "tsig": tsig_g,
+                         "ns": ns_g, "nt": nt_g, "nw1": nw1, "nw2": nw2,
+                         "tsig_w1": out_w["tsig"][:K],
+                         "tsig_w2": out_w["tsig"][K:]}
+            for ci, c in enumerate("rgb"):
+                comp_in_g[f"srgb_{c}"] = srgb_g[ci]
+                comp_in_g[f"trgb_{c}"] = main[f"trgb_{c}"][idx]
+                comp_in_g[f"trgb_w1_{c}"] = out_w[f"trgb_{c}"][:K]
+                comp_in_g[f"trgb_w2_{c}"] = out_w[f"trgb_{c}"][K:]
+            comp_g = compositor(comp_in_g)
+            tw_g = comp_g["transient_weights"]
+            tw_fw_g, tw_bw_g = comp_g["tw_w1"], comp_g["tw_w2"]
+            res["rgb_fw_g"] = comp_g["maps"][:, 4:7]
+            res["rgb_bw_g"] = comp_g["maps"][:, 7:10]
+        else:
+            d_s_g, d_t_g = cp.deltas_from_zs(zs_g)
+            tau_s_g = d_s_g * cp.softplus(ssig_g + ns_g)
+            tau_t_g = d_t_g * cp.softplus(tsig_g + nt_g)
+            sa_g = 1.0 - jnp.exp(-tau_s_g)
+            tw_g = ((1.0 - jnp.exp(-tau_t_g))
+                    * cp.transmittance_from_taus(tau_s_g + tau_t_g))
+
+            def warp_composite_g(tsig_w, trgb_w, nw):
+                """`warp_composite` on the gathered rays (shared static
+                field, `rendering.py:98-140`)."""
+                tau_w = d_t_g * cp.softplus(tsig_w + nw)
+                ta_w = 1.0 - jnp.exp(-tau_w)
+                trans_w = cp.transmittance_from_taus(tau_s_g + tau_w)
+                sw_w = sa_g * trans_w
+                tw_w = ta_w * trans_w
+                rgb_w = jnp.stack(
+                    [jnp.sum(sw_w * sc + tw_w * tc, -1)
+                     for sc, tc in zip(srgb_g, trgb_w)], -1)
+                return rgb_w, tw_w
+
+            res["rgb_fw_g"], tw_fw_g = warp_composite_g(
+                out_w["tsig"][:K],
+                tuple(out_w[f"trgb_{c}"][:K] for c in "rgb"), nw1)
+            res["rgb_bw_g"], tw_bw_g = warp_composite_g(
+                out_w["tsig"][K:],
+                tuple(out_w[f"trgb_{c}"][K:] for c in "rgb"), nw2)
+
+        occ_fw_g = jax.lax.stop_gradient(tw_fw_g - tw_g)
+        occ_bw_g = jax.lax.stop_gradient(tw_bw_g - tw_g)
+        res["disocc_fw_g"] = 1.0 - jnp.abs(
+            jnp.sum(occ_fw_g, -1, keepdims=True))
+        res["disocc_bw_g"] = 1.0 - jnp.abs(
+            jnp.sum(occ_bw_g, -1, keepdims=True))
+        res["disoccs_fw_g"] = 1.0 - jnp.abs(occ_fw_g)
+        res["disoccs_bw_g"] = 1.0 - jnp.abs(occ_bw_g)
+
+        xyzs_g = tuple(x[idx] for x in xyz)
+        res["xyzs_g"] = xyzs_g
+        res["xyzs_fw_bw_g"] = tuple(x + f + fb for x, f, fb
+                                    in zip(xyzs_g, ffw_g, flowb_fw_g))
+        res["xyzs_bw_fw_g"] = tuple(x + b + fb for x, b, fb
+                                    in zip(xyzs_g, fbw_g, flowb_bw_g))
+
     if ws == 2:
         # per-ray single-warp cycle planes: the warped-position base is
         # xyz+flow_fw for the first half, xyz+flow_bw for the second
@@ -644,7 +824,7 @@ def render_train_planar(
                          for f, b in zip(res["xyzs_fw"], res["xyzs_bw"]))
         res["xyzs_wb"] = tuple(x + fb for x, fb in zip(xyz_warp,
                                                        flow_back))
-    else:
+    elif not wi:
         res["xyzs_fw_bw"] = tuple(x + f for x, f in zip(res["xyzs_fw"],
                                                         flowb_fw))
         res["xyzs_bw_fw"] = tuple(x + f for x, f in zip(res["xyzs_bw"],
@@ -658,7 +838,9 @@ def render_train_planar(
     res["xyz_bw"] = res["xyz_fine"] + flow_bw_map
 
     # disocclusion = 1 - |sum(warped_w - w)|, stop-grad (`rendering.py:289-295`)
-    if ws == 2:
+    if wi:
+        pass  # gathered-set disocclusion already set above
+    elif ws == 2:
         occ_w = jax.lax.stop_gradient(tw_w - tw)
         res["disocc_w"] = 1.0 - jnp.abs(jnp.sum(occ_w, -1, keepdims=True))
         res["disoccs_w"] = 1.0 - jnp.abs(occ_w)

@@ -98,6 +98,20 @@ class RenderConfig:
     # the exact loss. ~25% FLOP cut; learning-equivalence is measured,
     # not assumed (tools/learning_equiv.py --warp_subsample).
     warp_subsample: int = 1
+    # importance-concentrated warp evaluation (planar train path only;
+    # mutually exclusive with warp_subsample=2). 0 = off (exact). With
+    # warp_importance = f in (0, 1], each step draws K = round(f*N) rays
+    # by a Horvitz-Thompson systematic sample over stop-grad transient
+    # weight (static rays contribute ~nothing to the pho/cyc terms —
+    # `losses.py:126-141` residuals vanish where the transient field is
+    # empty) and evaluates BOTH warp directions on the selected rays
+    # (2K warp rows per step vs 2N exact; f=0.5 halves the warp FLOPs
+    # like warp_subsample=2 but keeps the fw/bw pairing per ray). The
+    # pho/cyc contributions are scattered back with 1/pi inclusion
+    # weights, so the loss estimator is unbiased over the selection
+    # randomness; learning equivalence is measured, not assumed
+    # (tools/learning_equiv.py --mode warp_imp).
+    warp_importance: float = 0.0
     # planar test-time path (models/raymarch.py::render_test_planar):
     # 'auto' = take it whenever the Pallas eval backend is active and the
     # config fits the planar envelope (transient, N_importance=0, S a

@@ -274,7 +274,51 @@ def compute_losses_planar(
                           Ks, Ps)
 
     S = tw.shape[1]
-    if "rgb_w" in results:
+    if "rgb_fw_g" in results:
+        # importance-concentrated warp estimator
+        # (RenderConfig.warp_importance): the renderer evaluated BOTH
+        # warp directions on K Horvitz-Thompson-selected rays
+        # (models/raymarch.py::_importance_select). Scattering each
+        # selected ray's pho/cyc contribution back with its 1/pi weight
+        # v makes every per-ray vector an unbiased estimate of the exact
+        # path's (losses.py:126-141); the disocc normalizers are the
+        # matching HT estimates of the batch means (self-normalized
+        # ratio, same approximation class as the ws2 per-half means).
+        # With warp_importance=1.0 this reduces EXACTLY to the exact
+        # terms (pi = 1, idx = identity; tests/test_warp_importance.py).
+        idx = results["warp_idx"]
+        v = results["warp_v"]
+        n_rays = rgbs.shape[0]
+        rgbs_g = rgbs[idx]
+
+        def ht_scatter(contrib):  # (K,) -> unbiased per-ray (N,) vector
+            return jnp.zeros((n_rays,), contrib.dtype).at[idx].add(
+                v * contrib)
+
+        d_fw = results["disocc_fw_g"][:, 0]
+        d_bw = results["disocc_bw_g"][:, 0]
+        r_fw = jnp.mean((results["rgb_fw_g"] - rgbs_g) ** 2, -1)
+        r_bw = jnp.mean((results["rgb_bw_g"] - rgbs_g) ** 2, -1)
+        den_fw = jnp.sum(v * d_fw) / n_rays
+        den_bw = jnp.sum(v * d_bw) / n_rays
+        ret["pho_l"] = (ht_scatter(d_fw * r_fw) / den_fw
+                        + ht_scatter(d_bw * r_bw) / den_bw)
+
+        cyc_abs_fw = sum(jnp.abs(a - b)
+                         for a, b in zip(results["xyzs_fw_bw_g"],
+                                         results["xyzs_g"]))
+        cyc_abs_bw = sum(jnp.abs(a - b)
+                         for a, b in zip(results["xyzs_bw_fw_g"],
+                                         results["xyzs_g"]))
+        dfs = results["disoccs_fw_g"]
+        dbs = results["disoccs_bw_g"]
+        den_fws = jnp.sum(v * jnp.mean(dfs, -1)) / n_rays
+        den_bws = jnp.sum(v * jnp.mean(dbs, -1)) / n_rays
+        ret["cyc_l"] = (
+            ht_scatter(jnp.sum(dfs * cyc_abs_fw, -1)) / den_fws
+            + ht_scatter(jnp.sum(dbs * cyc_abs_bw, -1)) / den_bws
+        ) / (3 * S)
+    elif "rgb_w" in results:
         # warp-subsampled path (RenderConfig.warp_subsample=2): each ray
         # carries ONE warp direction (first half fw, second half bw), so
         # the fw statistics come from the first half and the bw from the

@@ -115,10 +115,13 @@ def make_train_step(
                   and (render_cfg.fused_train == "on"
                        or (render_cfg.fused_train == "auto"
                            and pallas_active)))
-    if render_cfg.warp_subsample > 1 and not use_planar:
+    if ((render_cfg.warp_subsample > 1 or render_cfg.warp_importance > 0)
+            and not use_planar):
+        which = (f"warp_subsample={render_cfg.warp_subsample}"
+                 if render_cfg.warp_subsample > 1
+                 else f"warp_importance={render_cfg.warp_importance}")
         raise ValueError(
-            f"warp_subsample={render_cfg.warp_subsample} is only "
-            f"implemented on the planar fused train path"
+            f"{which} is only implemented on the planar fused train path"
             + (f" (unavailable here: {'; '.join(reasons)})" if reasons
                else " (enable it: fused_train='on'/'auto' with the "
                     "Pallas train backend)"))

@@ -136,7 +136,8 @@ def render_config(cfg: NSFFConfig) -> RenderConfig:
         img_wh=tuple(cfg.img_wh), compute_dtype=cfg.dtype,
         mlp_backend=cfg.mlp_backend, train_backend=cfg.train_backend,
         fused_train=cfg.fused_train, N_tau=cfg.N_tau, N_a=cfg.N_a,
-        warp_subsample=cfg.warp_subsample, planar_eval=cfg.planar_eval)
+        warp_subsample=cfg.warp_subsample,
+        warp_importance=cfg.warp_importance, planar_eval=cfg.planar_eval)
 
 
 class NSFFSystem:
