@@ -30,7 +30,9 @@ BASELINE_A100_RAYS_PER_SEC = 15000.0
 
 def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
           fused_train: str = "auto", scan_steps: int = 1,
-          warp_subsample: int = 1, n_importance: int = 0):
+          warp_subsample: int = 1, n_importance: int = 0,
+          warp_importance: float = 0.0, hard_sampling: bool = False,
+          topk: float = 1.0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,7 +62,8 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
                         noise_std=1.0, use_viewdir=True, encode_a=False,
                         encode_t=True, max_t=n_frames - 1, img_wh=(w, h),
                         compute_dtype=dtype, fused_train=fused_train,
-                        warp_subsample=warp_subsample)
+                        warp_subsample=warp_subsample,
+                        warp_importance=warp_importance)
     # tiny lr: the synthetic random table makes the flow losses huge, and
     # the reference lr diverges to NaN within ~20 steps; NaN params change
     # kernel timing, so keep the numerics sane for the benchmark
@@ -69,6 +72,7 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
     steps_per_epoch = w * h * n_frames // 1000
     tx = make_optimizer(ncfg, steps_per_epoch)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    lcfg = LossConfig(max_t=n_frames - 1, topk=topk)
 
     rng = np.random.RandomState(0)
     table = rng.rand(n_frames, w * h, 16).astype(np.float32)
@@ -86,10 +90,10 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
     Ps = np.tile(np.eye(3, 4, dtype=np.float32), (1, n_frames, 1, 1))
 
     step = make_train_step(
-        rcfg, LossConfig(max_t=n_frames - 1), tx,
+        rcfg, lcfg, tx,
         output_transient=True, output_transient_flow=("fw", "bw", "disocc"),
         steps_per_epoch=steps_per_epoch, batch_size=batch_size,
-        scan_steps=scan_steps)
+        scan_steps=scan_steps, hard_sampling=hard_sampling)
     return step, state, (jnp.asarray(table),
                          jnp.ones((n_frames, w * h), jnp.float32),
                          jnp.asarray(Ks), jnp.asarray(Ps))
@@ -97,7 +101,8 @@ def build(batch_size: int, n_samples: int = 128, dtype: str = "bfloat16",
 
 def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
             scan_steps: int = 0, warp_subsample: int = 1,
-            n_importance: int = 0):
+            n_importance: int = 0, warp_importance: float = 0.0,
+            hard_sampling: bool = False, topk: float = 1.0):
     """Chained-step throughput. NOTE: on the tunneled (axon) backend
     `block_until_ready` does not reliably await remote execution — a value
     fetch does. We force completion by pulling the final loss, so the
@@ -116,7 +121,9 @@ def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
         scan_steps = max(1, 16384 // batch_size)
     step, state, (table, weights, Ks, Ps) = build(
         batch_size, dtype=dtype, scan_steps=scan_steps,
-        warp_subsample=warp_subsample, n_importance=n_importance)
+        warp_subsample=warp_subsample, n_importance=n_importance,
+        warp_importance=warp_importance, hard_sampling=hard_sampling,
+        topk=topk)
     key = jax.random.PRNGKey(0)
     # enough dispatches that the single final value-fetch round trip
     # (~30 ms over the tunnel) stays <3% of the measured window
@@ -135,7 +142,10 @@ def measure(batch_size: int, iters: int = 60, dtype: str = "bfloat16",
         dt = time.perf_counter() - t0
         return batch_size * iters / dt, loss
 
-    tmp = jnp.zeros((1, 1, 3))
+    # hard_sampling scans write the rendered rgb into the per-pixel
+    # buffer (train.py:184-185 semantics) — give it the real shape
+    tmp = (jnp.zeros((table.shape[0], table.shape[1], 3))
+           if hard_sampling else jnp.zeros((1, 1, 3)))
     ts = jnp.asarray(np.arange(scan_steps) % 30)
     state, tmp, m = step(state, tmp, table, weights, Ks, Ps, key, ts)
     float(m["loss"][-1])  # warmup / compile (forced)
@@ -264,15 +274,21 @@ def _stage_main(stage: str):
     elif stage.startswith("batch:"):
         parts = stage.split(":")
         bs = int(parts[1])
-        ws, ni = 1, 0
-        for p in parts[2:]:  # "ws2" / "c2f64" suffixes
+        ws, ni, wi, mining = 1, 0, 0.0, False
+        for p in parts[2:]:  # "ws2" / "c2f64" / "wi50" / "mining" suffixes
             if p.startswith("ws"):
                 ws = int(p[2:])
             elif p.startswith("c2f"):
                 ni = int(p[3:])
-        rays_s, loss = _retry(lambda: measure(bs, warp_subsample=ws,
-                                              n_importance=ni),
-                              tag=f"batch={bs} ws={ws} ni={ni}")
+            elif p.startswith("wi"):
+                wi = int(p[2:]) / 100.0
+            elif p == "mining":
+                mining = True
+        rays_s, loss = _retry(
+            lambda: measure(bs, warp_subsample=ws, n_importance=ni,
+                            warp_importance=wi, hard_sampling=mining,
+                            topk=0.6 if mining else 1.0),
+            tag=f"batch={bs} ws={ws} ni={ni} wi={wi} mining={mining}")
         print(f"STAGE_RESULT "
               f"{json.dumps({'rays_per_sec': rays_s, 'loss': loss})}",
               flush=True)
@@ -359,6 +375,31 @@ def main():
         print(f"# batch={bs} warp_subsample=2: {rays_s:,.0f} rays/s "
               f"(loss {loss:.3f})", flush=True)
         rows[f"batch{bs}_ws2_rays_per_sec"] = round(rays_s, 1)
+    # --warp_importance 0.5: both warp directions on an importance-drawn
+    # half of the rays with unbiased HT loss weighting (same FLOP cut as
+    # ws2, keeps the per-ray fw/bw pairing on transient-heavy rays).
+    # Learning equivalence vs exact: tools/learning_equiv.py --mode
+    # warp_imp (multi-seed A/B; see docs/ROADMAP.md round 5).
+    for bs in (512, 8192):
+        r = _run_stage(f"batch:{bs}:wi50")
+        if r is None:
+            continue
+        rays_s, loss = r["rays_per_sec"], r["loss"]
+        print(f"# batch={bs} warp_importance=0.5: {rays_s:,.0f} rays/s "
+              f"(loss {loss:.3f})", flush=True)
+        rows[f"batch{bs}_wi50_rays_per_sec"] = round(rays_s, 1)
+    # the mining-on recipe (the exact PARITY_RUN config: --hard_sampling
+    # + --topk 0.6): device-side weighted 4.4M-entry draw + per-step
+    # top-k + the scan's tmp_rgb buffer writes — the machinery the
+    # quality numbers train with (`/root/reference/datasets/
+    # monocular.py:234-241`, `losses.py:162-169`). The epoch-boundary
+    # SSIM refresh is outside the steady-state step and not in this row.
+    r = _run_stage("batch:512:mining")
+    if r is not None:
+        rays_s, loss = r["rays_per_sec"], r["loss"]
+        print(f"# batch=512 hard_sampling+topk0.6 (mining recipe): "
+              f"{rays_s:,.0f} rays/s (loss {loss:.3f})", flush=True)
+        rows["batch512_mining_rays_per_sec"] = round(rays_s, 1)
     # coarse-to-fine (--N_importance 64): the planar envelope covers the
     # PDF-resampled fine pass (S = 128 + 2*64 = 256) since round 4; the
     # step evaluates ~2.3x the flagship FLOPs/ray (coarse dual-tower pass

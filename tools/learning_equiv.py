@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(backend: str, root: str, args, warp_subsample: int = 1,
-        tag: str = "") -> float:
+        warp_importance: float = 0.0, tag: str = "") -> float:
     from nsff_pl_tpu.config import NSFFConfig
     from nsff_pl_tpu.training.trainer import NSFFSystem
 
@@ -29,6 +29,7 @@ def run(backend: str, root: str, args, warp_subsample: int = 1,
         num_epochs=args.epochs, lr=5e-4, lr_scheduler="cosine",
         encode_t=True, use_viewdir=True, dtype="bfloat16",
         train_backend=backend, warp_subsample=warp_subsample,
+        warp_importance=warp_importance, seed=args.seed,
         flow_scale=args.flow_scale, scan_steps=args.scan_steps,
         exp_name=tag or f"equiv_{backend}",
         log_dir="/tmp/equiv_logs", ckpt_dir="/tmp/equiv_ckpts",
@@ -50,11 +51,24 @@ def main():
     p.add_argument("--flow_scale", type=float, default=0.2)
     p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--scene", type=str, default="/tmp/equiv_scene_v2")
-    p.add_argument("--mode", choices=["backend", "warp"], default="backend",
+    p.add_argument("--seed", type=int, default=42,
+                   help="training seed (the scene content is fixed by "
+                        "the scene cache; rerun with several seeds for "
+                        "the multi-seed A/B protocol)")
+    p.add_argument("--warp_importance", type=float, default=0.5,
+                   help="the f value the warp_imp mode tests")
+    p.add_argument("--arm", choices=["both", "exact", "test"],
+                   default="both",
+                   help="warp/warp_imp modes: run both arms, or a single "
+                        "arm (for splitting seeds across invocations)")
+    p.add_argument("--mode", choices=["backend", "warp", "warp_imp"],
+                   default="backend",
                    help="backend: XLA vs Pallas (both exact). "
                         "warp: Pallas exact (warp_subsample=1) vs "
                         "subsampled (warp_subsample=2) — the VERDICT r3 #2 "
-                        "learning-equivalence check for the >=5x path.")
+                        "learning-equivalence check for the >=5x path. "
+                        "warp_imp: exact vs the importance-concentrated "
+                        "estimator (--warp_importance).")
     args = p.parse_args()
 
     if not os.path.isdir(args.scene):
@@ -77,14 +91,30 @@ def main():
                   flush=True)
         delta = results["pallas"] - results["xla"]
         print(f"PSNR delta (pallas - xla) = {delta:+.3f} dB")
-    else:  # exact 2-warp evaluation vs one-direction-per-ray subsampling
+    elif args.mode == "warp":
+        # exact 2-warp evaluation vs one-direction-per-ray subsampling
         for ws in (1, 2):
+            if args.arm != "both" and (ws == 1) != (args.arm == "exact"):
+                continue
             results[ws] = run("pallas", args.scene, args, warp_subsample=ws,
-                              tag=f"equiv_ws{ws}")
-            print(f"[warp_subsample={ws}] final val PSNR = "
-                  f"{results[ws]:.3f} dB", flush=True)
-        delta = results[2] - results[1]
-        print(f"PSNR delta (ws2 - exact) = {delta:+.3f} dB")
+                              tag=f"equiv_ws{ws}_s{args.seed}")
+            print(f"[warp_subsample={ws} seed={args.seed}] final val PSNR "
+                  f"= {results[ws]:.3f} dB", flush=True)
+        if len(results) == 2:
+            print(f"PSNR delta (ws2 - exact) = "
+                  f"{results[2] - results[1]:+.3f} dB")
+    else:  # warp_imp: exact vs importance-concentrated warp estimator
+        for wi in (0.0, args.warp_importance):
+            if args.arm != "both" and (wi == 0.0) != (args.arm == "exact"):
+                continue
+            results[wi] = run("pallas", args.scene, args,
+                              warp_importance=wi,
+                              tag=f"equiv_wi{int(wi * 100)}_s{args.seed}")
+            print(f"[warp_importance={wi} seed={args.seed}] final val "
+                  f"PSNR = {results[wi]:.3f} dB", flush=True)
+        if len(results) == 2:
+            print(f"PSNR delta (wi - exact) = "
+                  f"{results[args.warp_importance] - results[0.0]:+.3f} dB")
 
 
 if __name__ == "__main__":
