@@ -44,14 +44,17 @@ def _filter2d_sep(img, k1d):
     filter2d default border behavior)."""
     pad = (len(k1d) - 1) // 2
     k = jnp.asarray(k1d)
+    # precision='highest': on TPU the convolution lowers to dots whose
+    # default operand precision is bf16 — enough mantissa loss to shift
+    # SSIM by >0.1 on smooth content (observed in the round-4 parity
+    # eval). Metrics must not depend on the accelerator's matmul default.
+    conv = lambda v: jnp.convolve(v, k, mode="valid", precision="highest")
     x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
-    x = jax.vmap(lambda c: jnp.apply_along_axis(
-        lambda v: jnp.convolve(v, k, mode="valid"), 0, c), in_axes=-1,
-        out_axes=-1)(x)
+    x = jax.vmap(lambda c: jnp.apply_along_axis(conv, 0, c), in_axes=-1,
+                 out_axes=-1)(x)
     x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
-    x = jax.vmap(lambda c: jnp.apply_along_axis(
-        lambda v: jnp.convolve(v, k, mode="valid"), 1, c), in_axes=-1,
-        out_axes=-1)(x)
+    x = jax.vmap(lambda c: jnp.apply_along_axis(conv, 1, c), in_axes=-1,
+                 out_axes=-1)(x)
     return x
 
 
@@ -63,14 +66,25 @@ def ssim_map(image_gt, image_pred, window_size: int = 11,
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
 
-    mu_x = _filter2d_sep(image_gt, k)
-    mu_y = _filter2d_sep(image_pred, k)
+    # Variance/covariance are invariant to constant shifts, so compute
+    # them on globally mean-centered images: E[x²]−μ² cancels
+    # catastrophically when μ² ≫ σ² (smooth bright content), which
+    # under-reported SSIM by up to 0.14 in the round-4 TPU eval. The
+    # luminance means are recovered exactly by adding the shifts back.
+    cx = jnp.mean(image_gt)
+    cy = jnp.mean(image_pred)
+    xs = image_gt - cx
+    ys = image_pred - cy
+    mu_xs = _filter2d_sep(xs, k)
+    mu_ys = _filter2d_sep(ys, k)
+    mu_x = mu_xs + cx
+    mu_y = mu_ys + cy
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_x = _filter2d_sep(image_gt * image_gt, k) - mu_xx
-    sigma_y = _filter2d_sep(image_pred * image_pred, k) - mu_yy
-    sigma_xy = _filter2d_sep(image_gt * image_pred, k) - mu_xy
+    sigma_x = _filter2d_sep(xs * xs, k) - mu_xs * mu_xs
+    sigma_y = _filter2d_sep(ys * ys, k) - mu_ys * mu_ys
+    sigma_xy = _filter2d_sep(xs * ys, k) - mu_xs * mu_ys
 
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)

@@ -42,6 +42,49 @@ def test_ssim_decreases_with_noise():
     assert float(M.ssim(img, noisy)) < float(M.ssim(img, img)) - 0.05
 
 
+def test_ssim_no_cancellation_on_smooth_bright_content():
+    """Regression for the round-4 TPU eval bug: sigma = E[x²] − μ² cancels
+    catastrophically when μ² ≫ σ² (smooth bright renders), under-reporting
+    SSIM by up to 0.14 at accelerator matmul precision. The shifted-variance
+    formulation + explicit highest-precision filtering must agree with an
+    f64 NumPy computation of the same kornia-semantics SSIM
+    (`/root/reference/metrics.py:19-32`)."""
+    rng = np.random.RandomState(7)
+    # bright smooth base + micro-texture + tiny prediction error:
+    # variance ~1e-6 sits ~19 bits below μ² ~0.81
+    base = 0.9 + 1e-3 * rng.randn(48, 64, 3)
+    pred = base + 2e-2 * rng.randn(48, 64, 3)
+    got = float(M.ssim(jnp.asarray(base.astype(np.float32)),
+                       jnp.asarray(pred.astype(np.float32))))
+
+    # independent f64 reference of the same formula
+    k = np.asarray(M._gaussian_kernel1d(11, 1.5), np.float64)
+
+    def filt(img):
+        p = 5
+        x = np.pad(img, ((p, p), (0, 0), (0, 0)), mode="reflect")
+        x = np.stack([np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="valid"), 0, x[..., c])
+            for c in range(3)], -1)
+        x = np.pad(x, ((0, 0), (p, p), (0, 0)), mode="reflect")
+        return np.stack([np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="valid"), 1, x[..., c])
+            for c in range(3)], -1)
+
+    mx, my = filt(base), filt(pred)
+    sx = filt(base * base) - mx * mx
+    sy = filt(pred * pred) - my * my
+    sxy = filt(base * pred) - mx * my
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    smap = ((2 * mx * my + c1) * (2 * sxy + c2)
+            / ((mx * mx + my * my + c1) * (sx + sy + c2)))
+    want = float(np.mean(1.0 - np.clip((1.0 - smap) / 2.0, 0.0, 1.0)))
+    assert abs(got - want) < 2e-3, (got, want)
+    # and the case is a real discriminator: the images differ enough that
+    # a cancellation-broken sigma path would sit far from the truth
+    assert want < 0.98
+
+
 def test_lpips_gated_returns_none():
     # lpips package absent in this image -> model None, metric None
     model = M.get_lpips_model()
