@@ -117,10 +117,18 @@ def _sample_batch(table, weights, rng, t, batch_size: int,
     n_pixels = table.shape[1]
     frame = table[t]  # (H*W, 16) dynamic gather over frames
     if hard_sampling:
-        logw = jnp.log(jnp.maximum(weights[t], 1e-12))
-        # Gumbel-max with replacement: one gumbel per (draw, pixel) would be
-        # (B, P) — too big. Instead draw B independent categoricals.
-        idx = jax.random.categorical(rng, logw, shape=(batch_size,))
+        # Weighted draw with replacement via inverse-CDF sampling —
+        # distribution-identical to `np.random.choice(p=w)`
+        # (`monocular.py:236-238`). NOT jax.random.categorical: that
+        # materializes a (B, P) gumbel tensor + argmax reduction
+        # (512×147456 ≈ 75M floats per step at reference scale — measured
+        # as most of the ~21% mining tax in the round-4 parity run). The
+        # prefix sum over P and a B-wide binary search are ~1000× less
+        # work and memory traffic.
+        w = jnp.maximum(weights[t], 0.0)
+        cw = jnp.cumsum(w)
+        u = jax.random.uniform(rng, (batch_size,)) * cw[-1]
+        idx = jnp.clip(jnp.searchsorted(cw, u, side="right"), 0, n_pixels - 1)
     else:
         idx = jax.random.randint(rng, (batch_size,), 0, n_pixels)
     rays = frame[idx]  # (B, 16)

@@ -140,6 +140,27 @@ def test_hard_sampling_concentrates():
     assert np.mean(idx < 4) > 0.95
 
 
+def test_hard_sampling_matches_weights_marginal():
+    """The inverse-CDF weighted draw must reproduce the exact marginal
+    p(i) = w_i / sum(w) of `np.random.choice(p=w)` (`monocular.py:236-238`)
+    — including zero-weight pixels never being drawn."""
+    rng = np.random.RandomState(3)
+    w = rng.rand(64).astype(np.float32)
+    w[10] = 0.0
+    w[20] = 0.0
+    b = RayBatcher(_table(n_pixels=64), batch_size=4096, hard_sampling=True)
+    b.update_weights(0, w)
+    counts = np.zeros(64)
+    for i in range(40):
+        idx = np.asarray(b.sample(jax.random.PRNGKey(i), 0)["rand_idx"])
+        counts += np.bincount(idx, minlength=64)
+    freq = counts / counts.sum()
+    p = w / w.sum()
+    assert counts[10] == 0 and counts[20] == 0
+    # 163,840 draws: per-bin standard error ~sqrt(p/n) <= 0.0004
+    np.testing.assert_allclose(freq, p, atol=0.003)
+
+
 def test_scan_steps_matches_sequential():
     """make_train_step(scan_steps=K) must reproduce K sequential
     single-step calls exactly — the K-step dispatch only changes the
