@@ -185,16 +185,30 @@ def measure_render(n_rays: int = 8192, n_samples: int = 128,
     ts = jnp.zeros((n_rays,), jnp.int32)
     cfg = RenderConfig(N_samples=n_samples, use_viewdir=True, encode_t=True,
                        max_t=29, compute_dtype="bfloat16")
-    f = jax.jit(lambda p, e, r, t, k: render_rays(
-        p, e, r, t, k, cfg, test_time=True,
-        output_transient=True)["rgb_fine"])
-    out = f(params, emb, rays, ts, key)
+    # chunk loop scanned inside one dispatch — the shape the eval CLI
+    # actually runs (training/step.py::render_full_image(scan_chunks=True),
+    # round-5 render-floor work)
+    G = 8
+    rays_g = jnp.stack([rays] * G)
+    ts_g = jnp.stack([ts] * G)
+
+    @jax.jit
+    def scanned(rays_g, ts_g):
+        def body(_, rt):
+            return None, render_rays(
+                params, emb, rt[0], rt[1], key, cfg, test_time=True,
+                output_transient=True)["rgb_fine"]
+        _, outs = jax.lax.scan(body, None, (rays_g, ts_g))
+        return outs
+
+    out = scanned(rays_g, ts_g)
     float(jnp.sum(out))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(params, emb, rays, ts, key)
+    n_disp = max(2, iters // G)
+    for _ in range(n_disp):
+        out = scanned(rays_g, ts_g)
     float(jnp.sum(out))
-    return n_rays * iters / (time.perf_counter() - t0)
+    return n_rays * G * n_disp / (time.perf_counter() - t0)
 
 
 def measure_render_frame(w: int = 512, h: int = 288, chunk: int = 32768,
@@ -231,11 +245,13 @@ def measure_render_frame(w: int = 512, h: int = 288, chunk: int = 32768,
                        max_t=29, img_wh=(w, h), compute_dtype="bfloat16")
     render = make_render_fn(cfg, output_transient=output_transient,
                             keys=("rgb_fine", "depth_fine"))
-    out = render_full_image(render, params, rays, ts, key, chunk=chunk)
+    out = render_full_image(render, params, rays, ts, key, chunk=chunk,
+                            scan_chunks=True)
     float(jnp.sum(out["rgb_fine"]))  # warmup / compile (forced)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render_full_image(render, params, rays, ts, key, chunk=chunk)
+        out = render_full_image(render, params, rays, ts, key, chunk=chunk,
+                                scan_chunks=True)
     float(jnp.sum(out["rgb_fine"]))
     return (time.perf_counter() - t0) / iters
 
@@ -411,6 +427,25 @@ def main():
               f"{r['rays_per_sec']:,.0f} rays/s (loss {r['loss']:.3f})",
               flush=True)
         rows["batch512_c2f64_rays_per_sec"] = round(r["rays_per_sec"], 1)
+        # c2f floor (VERDICT r4 #4), same ledger as the flagship floor:
+        #   coarse dual-tower fwd+bwd at S=128: the coarse model is
+        #     1.2122M MACs/pt (counted from param shapes) => fwd
+        #     2*1.2122M*128 = 0.3103 GFLOP/ray; the planar train path's
+        #     measured total/fwd ratio is 4.155 (recompute-in-bwd + dW +
+        #     dX; flagship 2.53 total over 0.609 fwd) => 1.289 GFLOP/ray
+        #   fine 3-evaluation fwd+bwd at S=256: the flagship ledger
+        #     (2.53 GFLOP/ray at S=128) scaled by S => 5.06 GFLOP/ray
+        #   PDF resampling + sort: XLA glue, ~0 MXU FLOPs (excluded)
+        c2f_gflop = 6.35
+        c2f_floor_rps = 177.8e12 / (c2f_gflop * 1e9)
+        out_c2f = {
+            "gflop_per_ray": c2f_gflop,
+            "chain_rate_tflops": 177.8,
+            "floor_rays_per_sec": round(c2f_floor_rps, 1),
+            "pct_of_floor": round(
+                100 * r["rays_per_sec"] / c2f_floor_rps, 1),
+        }
+        rows["c2f_floor"] = out_c2f
     # The headline is the best DEFAULT-ELIGIBLE configuration: exact warp
     # semantics (warp_subsample=1, the config.py default). ws2 rows stay
     # in the artifact as a labeled opt-in speed/quality trade — the
@@ -441,6 +476,14 @@ def main():
             "chain_rate_tflops": 177.8,
             "floor_rays_per_sec": round(floor_rps, 1),
             "pct_of_floor": round(100 * rps / floor_rps, 1),
+            # round-5 attribution (tools/probe_render_floor.py, real v5e):
+            # the dual-tower eval KERNEL alone scan-dispatches at 86.2%
+            # of this floor (494k rays/s; fwd blocks re-swept 4096->2048
+            # = +11%, chunk loop scanned in-jit = +4%); the rest is the
+            # kernel's 8 (N,S) output-plane writes + per-chunk XLA
+            # prelude. Closing it needs compositing inside the raymarch
+            # kernel (fewer output planes), not schedule tuning.
+            "kernel_only_scan_pct_of_floor": 86.2,
         }
     if not best:
         # value 0 means the TPU was unreachable, not a perf collapse —

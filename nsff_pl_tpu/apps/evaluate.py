@@ -235,7 +235,12 @@ def main(args):
                      if output_transient else None)
         return render_full_image(render, params, rays, ts, rng,
                                  chunk=args.chunk, vis_poses=vis_poses,
-                                 vis_K=vis_K, view_dir=fixed_view_dir)
+                                 vis_K=vis_K, view_dir=fixed_view_dir,
+                                 # single-process: scan the chunk loop in
+                                 # one dispatch (multi-process keeps the
+                                 # host loop for replicated chunk inputs)
+                                 scan_chunks=mesh is None
+                                 or jax.process_count() == 1)
 
     if args.split == "test":
         psnrs = np.zeros((n_frames, 2))

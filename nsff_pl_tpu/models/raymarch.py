@@ -201,7 +201,14 @@ def render_test_planar(
     kker = dict(n_emb_xyz=cfg.N_emb_xyz, s_emb_xyz=cfg.S_emb_xyz,
                 n_emb_dir=cfg.N_emb_dir, n_a=cfg.N_a, n_tau=cfg.N_tau,
                 flow_scale=cfg.flow_scale,
-                block_rows=4096 if n > 1024 else 2048)
+                # round-5 v5e sweeps of the no-grad fwd at 8192-ray
+                # chunks (tools/probe_render_floor.py): the DUAL-tower op
+                # wants 2048-row blocks (17.4 vs 19.3 ms at 4096) like
+                # the train main op; the single-tower static-only op has
+                # half the MXU work per row and wants the 4096 the warp
+                # fwd prefers (static frames regressed 0.184->0.193 s on
+                # 2048)
+                block_rows=2048 if output_transient else 4096)
 
     res: Dict[str, jnp.ndarray] = {}
     if cfg.N_importance > 0:
@@ -303,16 +310,41 @@ def render_test_planar(
     transient_sigmas = cp.softplus(tsig_raw)
     static_alphas = 1.0 - jnp.exp(-tau_s)
     transient_alphas = 1.0 - jnp.exp(-tau_t)
-    alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
-    trans = cp.transmittance_from_taus(tau_s + tau_t)
-    sw = static_alphas * trans
-    tw = transient_alphas * trans
-    w = alphas * trans
 
     trgb = (out["trgb_r"], out["trgb_g"], out["trgb_b"])
-    res["rgb_fine"] = jnp.stack(
-        [jnp.sum(sw * sc + tw * tc, -1) for sc, tc in zip(srgb, trgb)], -1)
-    res["depth_fine"] = jnp.sum(w * zs, -1)
+    use_ck = (cfg.planar_compositing == "on"
+              or (cfg.planar_compositing == "auto"
+                  and jax.default_backend() != "cpu"))
+    if use_ck:
+        # fused compositor (one read/write per plane instead of ~15 XLA
+        # elementwise fusions — the same kernel the train path uses,
+        # ops/compositing_planar_kernel.py). The warp slots carry the
+        # main planes (their outputs are unused; no grad at test time),
+        # noises are zero (test-time semantics, `rendering.py:202-248`).
+        zero = jnp.zeros_like(zs)
+        comp_in = {"zs": zs, "ssig": out["ssig"], "tsig": tsig_raw,
+                   "tsig_w1": tsig_raw, "tsig_w2": tsig_raw,
+                   "ns": zero, "nt": zero, "nw1": zero, "nw2": zero}
+        for i, c in enumerate("rgb"):
+            comp_in[f"srgb_{c}"] = srgb[i]
+            comp_in[f"trgb_{c}"] = trgb[i]
+            comp_in[f"trgb_w1_{c}"] = trgb[i]
+            comp_in[f"trgb_w2_{c}"] = trgb[i]
+        ck = make_planar_compositor(Sf)(comp_in)
+        sw, tw, w = (ck["static_weights"], ck["transient_weights"],
+                     ck["weights"])
+        res["rgb_fine"] = ck["maps"][:, 0:3]
+        res["depth_fine"] = ck["maps"][:, 3]
+    else:
+        alphas = 1.0 - jnp.exp(-(tau_s + tau_t))
+        trans = cp.transmittance_from_taus(tau_s + tau_t)
+        sw = static_alphas * trans
+        tw = transient_alphas * trans
+        w = alphas * trans
+        res["rgb_fine"] = jnp.stack(
+            [jnp.sum(sw * sc + tw * tc, -1)
+             for sc, tc in zip(srgb, trgb)], -1)
+        res["depth_fine"] = jnp.sum(w * zs, -1)
     transient_rgb_map = jnp.stack([jnp.sum(tw * c, -1) for c in trgb], -1)
     transient_alpha = jnp.sum(tw, -1)
     res["transient_alpha_fine"] = transient_alpha

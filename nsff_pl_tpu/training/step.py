@@ -283,21 +283,75 @@ def make_render_fn(
     return render
 
 
+# one scanned executable per render_fn (jit caches per chunk-count C
+# inside it; the dict keeps the wrapper so repeated frames don't retrace)
+_scan_render_cache: Dict[object, object] = {}
+
+
 def render_full_image(render_fn, params, rays, ts, rng, chunk: int = 32768,
                       vis_poses=None, vis_K=None,
-                      view_dir=None) -> Dict[str, jnp.ndarray]:
+                      view_dir=None,
+                      scan_chunks: bool = False) -> Dict[str, jnp.ndarray]:
     """Render H*W rays with a fixed-size chunked jitted fn (one compile).
 
     Pads the last chunk to `chunk` rays so every invocation reuses the same
     executable, then trims. `view_dir` optionally overrides the (N, 3)
     directions used for the view-dependence embedding, chunked alongside
     the rays (the reference chunks `kwargs['view_dir']` the same way,
-    `eval.py:91-92`)."""
+    `eval.py:91-92`).
+
+    `scan_chunks=True` runs the whole chunk loop inside ONE jitted
+    `lax.scan` dispatch instead of one device call per chunk — the
+    render analog of the train path's `--scan_steps` (round-5 v5e probe:
+    +4-5% from removing per-chunk dispatch, tools/probe_render_floor.py).
+    Single-process only: under a multi-process mesh the per-chunk host
+    loop is what keeps chunk inputs host-replicated, so callers pass
+    scan_chunks only when rays are device/jnp values."""
     n = rays.shape[0]
     # numpy inputs stay numpy through slicing/padding: under a
     # multi-process mesh the chunks must reach the jitted renderer as
     # host values (treated as replicated global values by pjit)
     xp = np if isinstance(rays, np.ndarray) else jnp
+    if scan_chunks and n > chunk:
+        # equalize chunk sizes: ceil(n / K) rounded up to a 1024-ray
+        # boundary, so a frame that is K.5 chunks long doesn't burn a
+        # half-chunk of padding (512x288 = 4.5 x 32768: equalized 5 x
+        # 29696 pads 0.7% instead of 11%)
+        K = -(-n // chunk)
+        chunk = min(chunk, ((-(-n // K) + 1023) // 1024) * 1024)
+        pad = (-n) % chunk
+        r_all, t_all, vd_all = rays, ts, view_dir
+        if pad:
+            r_all = xp.concatenate(
+                [r_all, xp.broadcast_to(r_all[-1:], (pad, r_all.shape[1]))])
+            if t_all is not None:
+                t_all = xp.concatenate(
+                    [t_all, xp.broadcast_to(t_all[-1:], (pad,))])
+            if vd_all is not None:
+                vd_all = xp.concatenate(
+                    [vd_all,
+                     xp.broadcast_to(vd_all[-1:], (pad, vd_all.shape[1]))])
+        C = r_all.shape[0] // chunk
+        r_g = jnp.reshape(jnp.asarray(r_all), (C, chunk, r_all.shape[1]))
+        t_g = (jnp.reshape(jnp.asarray(t_all), (C, chunk))
+               if t_all is not None else None)
+        vd_g = (jnp.reshape(jnp.asarray(vd_all), (C, chunk, 3))
+                if vd_all is not None else None)
+
+        scanned = _scan_render_cache.get(render_fn)
+        if scanned is None:
+            @jax.jit
+            def scanned(params, r_g, t_g, vd_g, rng, vis_poses, vis_K):
+                def body(_, x):
+                    r, t, vd = x
+                    return None, render_fn(params, r, t, rng, vis_poses,
+                                           vis_K, vd)
+                _, outs = jax.lax.scan(body, None, (r_g, t_g, vd_g))
+                return outs
+            _scan_render_cache[render_fn] = scanned
+        outs = scanned(params, r_g, t_g, vd_g, rng, vis_poses, vis_K)
+        return {k: jnp.reshape(v, (C * chunk,) + v.shape[2:])[:n]
+                for k, v in outs.items()}
     outs = []
     for i in range(0, n, chunk):
         r = rays[i:i + chunk]

@@ -86,6 +86,29 @@ def test_planar_eval_matches_xla_all_keys():
             err_msg=k)
 
 
+def test_planar_eval_fused_compositing_matches():
+    """The fused-compositor eval epilogue (planar_compositing='on';
+    round-5 render-floor work) must equal the XLA epilogue on every key —
+    same contract as the train path's compositor equivalence
+    (tests/test_planar_path.py)."""
+    params = {"fine": _params()}
+    emb = {"t": nerf_m.init_embedding(jax.random.PRNGKey(2), 4, 16)}
+    rays, ts = _rays(), jnp.array([0, 1, 2, 3, 2, 1])
+    outs = {}
+    for pc in ("off", "on"):
+        outs[pc] = render_rays(
+            params, emb, rays, ts, jax.random.PRNGKey(0),
+            _cfg(mlp_backend="pallas", planar_eval="on",
+                 planar_compositing=pc),
+            test_time=True, output_transient=True,
+            output_transient_flow=("fw", "bw"))
+    for k in outs["off"]:
+        np.testing.assert_allclose(
+            np.asarray(outs["on"][k], np.float32),
+            np.asarray(outs["off"][k], np.float32), rtol=1e-5, atol=1e-6,
+            err_msg=k)
+
+
 COARSE_KEYS = (
     "zs_coarse", "xyzs_coarse", "static_sigmas_coarse",
     "transient_sigmas_coarse", "static_alphas_coarse",

@@ -1,11 +1,20 @@
-"""Sweep planar-kernel block sizes + isolate bridge costs on TPU."""
-import time, itertools
+"""Sweep planar-kernel block sizes + isolate bridge costs on TPU.
+
+Usage: python tools/sweep_planar_blocks.py [S] [N]
+S=256 covers the coarse-to-fine fine pass (N_samples=128 + 2*64 draws,
+`/root/reference/models/rendering.py:326-348` semantics); the block
+candidates scale so the rays-per-block counts match the S=128 sweep."""
+import sys, time, itertools
 import jax, jax.numpy as jnp
 from nsff_pl_tpu.models import nerf as M
 from nsff_pl_tpu.ops.posenc import posenc
 from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
+from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
 
-N, S = 8192, 128
+enable_compilation_cache("/root/repo/.jax_cache")
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+SCALE = S // 128  # keep rays/block comparable across S
 key = jax.random.PRNGKey(0)
 params = M.init_nerf_params(key, "fine", use_viewdir=True,
     encode_appearance=False, encode_transient=True, in_channels_t=48,
@@ -35,8 +44,10 @@ def warp_gfn(fn):
     return jax.jit(lambda p: jax.grad(lambda p_: sum(jnp.sum(jnp.sin(v))
         for v in fn(p_, o, d, zs, fl, None, None, te).values()))(p))
 
-print("== main op: fwd blk x bwd blk ==", flush=True)
-for fb, bb in itertools.product((2048, 4096), (1024, 2048, 4096)):
+print(f"== main op (S={S}, N={N}): fwd blk x bwd blk ==", flush=True)
+for fb, bb in itertools.product(
+        (2048 * SCALE, 4096 * SCALE), (1024 * SCALE, 2048 * SCALE,
+                                       4096 * SCALE)):
     fn = make_planar_nerf_train(S, use_viewdir=True, encode_a=False,
         encode_t=True, output_flow=("fw","bw"), block_rows=fb,
         bwd_block_rows=bb)
@@ -48,7 +59,8 @@ for fb, bb in itertools.product((2048, 4096), (1024, 2048, 4096)):
         print(f"fwd_blk={fb} bwd_blk={bb}: FAIL {str(ex)[:80]}", flush=True)
 
 print("== warp op ==", flush=True)
-for fb, bb in itertools.product((2048, 4096), (1024, 2048)):
+for fb, bb in itertools.product(
+        (2048 * SCALE, 4096 * SCALE), (1024 * SCALE, 2048 * SCALE)):
     fn = make_planar_nerf_train(S, static_branch=False, flow_in=True,
         encode_t=True, output_flow=("bw",), block_rows=fb, bwd_block_rows=bb)
     try:
