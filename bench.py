@@ -195,9 +195,12 @@ def measure_render(n_rays: int = 8192, n_samples: int = 128,
     @jax.jit
     def scanned(rays_g, ts_g):
         def body(_, rt):
+            # keys=('rgb_fine',): the eval CLI's key filter — routes the
+            # planar eval through the composited kernel (compositing
+            # in-kernel, one (N, M) maps write; round-5 render-floor work)
             return None, render_rays(
                 params, emb, rt[0], rt[1], key, cfg, test_time=True,
-                output_transient=True)["rgb_fine"]
+                output_transient=True, keys=("rgb_fine",))["rgb_fine"]
         _, outs = jax.lax.scan(body, None, (rays_g, ts_g))
         return outs
 

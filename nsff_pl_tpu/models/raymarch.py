@@ -31,11 +31,29 @@ from nsff_pl_tpu.models.rendering import RenderConfig, Z_FAR
 from nsff_pl_tpu.ops import compositing as cp
 from nsff_pl_tpu.ops.compositing_planar_kernel import make_planar_compositor
 from nsff_pl_tpu.ops.posenc import posenc
-from nsff_pl_tpu.ops.raymarch_kernel import make_planar_nerf_train
+from nsff_pl_tpu.ops.raymarch_kernel import (comp_map_cols,
+                                             make_planar_nerf_eval_comp,
+                                             make_planar_nerf_train)
 from nsff_pl_tpu.ops.sampling import sample_pdf, stratified_zs
 
 
 LANE_REASON = "N_samples not a multiple of the 128 TPU lane width"
+
+
+def comp_eval_keys(output_transient: bool, flow) -> frozenset:
+    """Result keys the composited no-grad kernel can serve per-ray
+    (`ops/raymarch_kernel.py::make_planar_nerf_eval_comp`). A caller key
+    filter that is a SUBSET of this set routes through the in-kernel
+    compositor — one (N, M<=21) maps write instead of 8-14 (N, S) planes
+    + the XLA compositing epilogue (round-5 render-floor work)."""
+    ks = {"rgb_fine", "depth_fine"}
+    if output_transient:
+        ks |= {"transient_rgb_fine", "transient_alpha_fine",
+               "_static_rgb_fine", "_static_depth_fine"}
+        if "fw" in flow and "bw" in flow:
+            ks |= {"xyz_fine", "transient_flow_fw", "transient_flow_bw",
+                   "xyz_fw", "xyz_bw"}
+    return frozenset(ks)
 
 
 def planar_unapplicable_reasons(cfg: RenderConfig, output_transient: bool,
@@ -159,8 +177,16 @@ def render_test_planar(
     vis_K=None,
     view_dir=None,
     mesh=None,
+    keys=None,
 ) -> Dict[str, jnp.ndarray]:
     """Test-time (no-grad) renderer on the planar fused kernel.
+
+    `keys`, when given (the caller's result filter,
+    `training/step.py::make_render_fn`), enables the composited kernel
+    route when every requested key is per-ray (`comp_eval_keys`): the
+    volume compositing runs INSIDE the evaluation kernel and only an
+    (N, M<=21) maps tile crosses to HBM. Gated off by
+    `cfg.planar_compositing == 'off'`.
 
     Same semantics and result keys as `render_rays(test_time=True)` over
     the planar envelope (`test_planar_unapplicable_reasons`): ONE
@@ -270,6 +296,46 @@ def render_test_planar(
             zs_list.append(zs_transient)
         zs = jnp.sort(jnp.concatenate(zs_list, -1), -1)
     Sf = zs.shape[1]  # fine-pass sample count (= S when N_importance == 0)
+
+    use_comp = (keys is not None and cfg.planar_compositing != "off"
+                and set(keys) <= comp_eval_keys(output_transient, flow))
+    if use_comp:
+        vis_pl = None
+        if output_transient and vis_poses is not None:
+            vis_pl = _visibility_planes(o, d, zs, jnp.asarray(vis_K),
+                                        cfg.img_wh, vis_poses)
+        comp_op = make_planar_nerf_eval_comp(
+            Sf, use_viewdir=use_viewdir, encode_a=encode_a,
+            encode_t=output_transient, output_flow=flow,
+            vis_in=vis_pl is not None, z_far=Z_FAR, **kker)
+        if mesh is not None:
+            comp_op = _shard_planar(comp_op, mesh)
+        maps = comp_op(params_fine, o, d, zs, vis_pl, dir_emb, a_emb, t_emb)
+        cols, _ = comp_map_cols(encode_t=output_transient,
+                                flow=("fw" in flow and "bw" in flow))
+
+        def col(name):
+            s, w_ = cols[name]
+            return maps[:, s] if w_ == 1 else maps[:, s:s + w_]
+
+        res["rgb_fine"] = col("rgb_fine")
+        res["depth_fine"] = col("depth_fine")
+        if output_transient:
+            t_alpha = col("transient_alpha")
+            res["transient_alpha_fine"] = t_alpha
+            # gray background for the transient-only view
+            # (`rendering.py:264-265`)
+            res["transient_rgb_fine"] = (col("transient_rgb_map")
+                                         + 0.8 * (1.0 - t_alpha[:, None]))
+            res["_static_rgb_fine"] = col("_static_rgb_fine")
+            res["_static_depth_fine"] = col("_static_depth_fine")
+            if "fw" in flow and "bw" in flow:
+                res["xyz_fine"] = col("xyz_fine")
+                res["transient_flow_fw"] = col("transient_flow_fw")
+                res["transient_flow_bw"] = col("transient_flow_bw")
+                res["xyz_fw"] = res["xyz_fine"] + res["transient_flow_fw"]
+                res["xyz_bw"] = res["xyz_fine"] + res["transient_flow_bw"]
+        return res
 
     op = make_planar_nerf_train(
         Sf, use_viewdir=use_viewdir, encode_a=encode_a,

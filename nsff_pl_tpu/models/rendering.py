@@ -219,6 +219,7 @@ def render_rays(
     vis_K: Optional[jnp.ndarray] = None,
     view_dir: Optional[jnp.ndarray] = None,
     mesh=None,
+    keys: Optional[Tuple[str, ...]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays. See the reference `render_rays`
     (`rendering.py:52-362`) for the semantic contract; this function matches
@@ -250,12 +251,15 @@ def render_rays(
         # plane boundaries (no packed (rows, 16) output), same result
         # keys (models/raymarch.py); static-only when
         # output_transient=False (the eval CLI default)
-        return raymarch.render_test_planar(
+        out = raymarch.render_test_planar(
             params["fine"], embeddings, rays, ts, rng, cfg,
             params_coarse=params.get("coarse"),
             output_transient=output_transient,
             output_transient_flow=flow, vis_poses=vis_poses,
-            vis_K=vis_K, view_dir=view_dir, mesh=mesh)
+            vis_K=vis_K, view_dir=view_dir, mesh=mesh, keys=keys)
+        if keys is not None:  # same filter make_render_fn applies
+            out = {k: v for k, v in out.items() if k in keys}
+        return out
 
     results: Dict[str, jnp.ndarray] = {}
 

@@ -700,3 +700,318 @@ def make_planar_nerf_train(
 
     fused.defvjp(fwd_rule, bwd_rule)
     return fused
+
+
+def comp_map_cols(*, encode_t: bool, flow: bool):
+    """Column layout of the composited eval kernel's (N, M) maps output.
+
+    Returns an ordered {name: (start, width)} over the packed minor dim.
+    Base: rgb_fine + depth_fine (the eval CLI's default key set,
+    `/root/reference/eval.py:81-110`); transient adds the composite maps
+    of `rendering.py:256-295`; flow adds the weighted flow maps of
+    `rendering.py:299-321`."""
+    cols = {"rgb_fine": (0, 3), "depth_fine": (3, 1)}
+    m = 4
+    if encode_t:
+        cols.update({"transient_rgb_map": (4, 3), "transient_alpha": (7, 1),
+                     "_static_rgb_fine": (8, 3), "_static_depth_fine": (11, 1)})
+        m = 12
+        if flow:
+            cols.update({"xyz_fine": (12, 3), "transient_flow_fw": (15, 3),
+                         "transient_flow_bw": (18, 3)})
+            m = 21
+    return cols, m
+
+
+def make_planar_nerf_eval_comp(
+    n_samples: int,
+    *,
+    use_viewdir: bool = False,
+    encode_a: bool = False,
+    encode_t: bool = True,
+    output_flow: Tuple[str, ...] = (),
+    vis_in: bool = False,
+    z_far: float = 0.95,
+    n_emb_xyz: int = 10,
+    s_emb_xyz: float = 9.0,
+    n_emb_dir: int = 4,
+    n_a: int = 48,
+    n_tau: int = 48,
+    flow_scale: float = 0.2,
+    D: int = 8,
+    skips=(4,),
+    block_rows: int = 2048,
+    bwd_block_rows: int = 1024,  # unused (no-grad); kept signature-compatible
+):
+    """No-grad fused evaluator WITH in-kernel volume compositing.
+
+    Same tower forward as `make_planar_nerf_train` (one dual-tower
+    evaluation per sample — the reference test path,
+    `rendering.py:169-175,217` without the warped renders) but instead of
+    writing 8-14 dense (N, S) sigma/rgb/flow planes to HBM and
+    compositing in XLA, the transmittance compositing
+    (`rendering.py:202-295`) runs in-register on the block's planes and
+    the kernel emits ONE per-ray (N, M) maps tile (M <= 21, see
+    `comp_map_cols`) — rgb/depth (+ transient/static-only composites and
+    weighted flow maps). Round-5 render-floor work: the plane writes +
+    XLA compositing epilogue were the measured 82.2%-vs-86.2%-of-floor
+    gap (BENCH_r04 `render_floor`, tools/probe_render_floor.py).
+
+    fn(params, o, d, zs, vis, dir_emb, a_emb, t_emb) -> (N, M) f32.
+    `vis` (when `vis_in`) is an (N, S) visibility-count plane; samples
+    with vis == 0 get transient sigma clamped to -10 pre-softplus
+    (test-time culling, `rendering.py:191-200`). `zs` may be an external
+    sorted plane (the coarse-to-fine fine pass). Flow maps mask samples
+    beyond `z_far` (`rendering.py:316`). Not differentiable (test-time
+    only)."""
+    from nsff_pl_tpu.ops.compositing_planar_kernel import (
+        _deltas, _lane_cumsum_excl, _softplus)
+
+    freqs = tuple(float(f) for f in posenc_freqs(s_emb_xyz, n_emb_xyz))
+    xyz_w = 3 + 6 * n_emb_xyz
+    dir_w = 3 + 6 * n_emb_dir
+    flow = tuple(f for f in output_flow if f in ("fw", "bw")) \
+        if encode_t else ()
+    emit_flow_maps = bool(flow)
+    # flow maps need BOTH directions' planes (xyz_fw = xyz + fw etc.);
+    # the heads are two matmul columns — evaluate both when any is asked
+    head_flow = ("fw", "bw") if emit_flow_maps else ()
+    use_viewdir = bool(use_viewdir)
+    encode_a = bool(encode_a)
+    if block_rows % n_samples != 0:
+        block_rows = max(n_samples, (block_rows // n_samples) * n_samples)
+    R_F = block_rows // n_samples
+    BLK_F = R_F * n_samples
+
+    static_names, transient_names = branch_weight_names(
+        D=D, skips=skips, use_viewdir=use_viewdir,
+        static_branch=True, encode_t=encode_t)
+    weight_names = static_names + transient_names
+    plane_keys = planar_out_keys(static_branch=True, encode_t=encode_t,
+                                 output_flow=head_flow)
+    n_planes = len(plane_keys)
+    cols_map, n_map = comp_map_cols(encode_t=encode_t, flow=emit_flow_maps)
+
+    pack_kw = dict(encode_t=encode_t, output_flow=head_flow, skips=skips,
+                   xyz_w=xyz_w, n_tau=n_tau, dir_w=dir_w, n_a=n_a,
+                   encode_a=encode_a)
+
+    def _xs_from_rays(o, d, zs, pe_sel):
+        o_sel = jnp.dot(o, pe_sel, preferred_element_type=F32)
+        d_sel = jnp.dot(d, pe_sel, preferred_element_type=F32)
+        rows = []
+        for r in range(R_F):
+            z_col = zs[r:r + 1, :].T
+            rows.append(o_sel[r:r + 1, :] + d_sel[r:r + 1, :] * z_col)
+        return jnp.concatenate(rows, 0)
+
+    def _tower_fwd(wb, prefix, inp):
+        h = inp
+        for i in range(D):
+            w, b = wb[f"{prefix}_{i}"]
+            if i in skips:
+                z = (jnp.dot(inp, w[:SEG], preferred_element_type=F32)
+                     + jnp.dot(h, w[SEG:SEG + 256],
+                               preferred_element_type=F32) + b)
+            else:
+                z = _mm(h, w, b)
+            h = jnp.maximum(z, 0.0).astype(BF16)
+        return h
+
+    def _bcast(v):
+        v = jnp.broadcast_to(v[:, None, :], (R_F, n_samples, v.shape[-1]))
+        return v.reshape(BLK_F, v.shape[-1])
+
+    def kernel(*refs):
+        it = iter(refs)
+        pe_sel = next(it)[...]
+        pe_id = next(it)[...]
+        pe_phase = next(it)[...]
+        pe_valid = next(it)[...]
+        t_sel = next(it)[...] if encode_t else None
+        o = next(it)[...]
+        dvec = next(it)[...]
+        zs = next(it)[...]
+        vis = next(it)[...] if vis_in else None
+        dir_t = next(it)[...] if use_viewdir else None
+        a_t = next(it)[...] if encode_a else None
+        t_t = next(it)[...] if encode_t else None
+        wb = {}
+        for name in weight_names:
+            w = next(it)
+            b = next(it)
+            wb[name] = (w[...], b[...][0])
+        out_ref = next(it)
+
+        xs = _xs_from_rays(o, dvec, zs, pe_sel)
+        pe = jnp.where(pe_id > 0, xs, _sin_poly(xs + pe_phase)) * pe_valid
+
+        # ---- towers (identical math to `fwd_kernel` above) ----
+        cols = []
+        h = _tower_fwd(wb, "static_xyz", pe.astype(BF16))
+        w, b = wb["static_sigma"]
+        static_sigma = _mm(h, w, b)
+        w, b = wb["static_xyz_final"]
+        feat0 = _mm(h, w, b)
+        if use_viewdir:
+            w, b = wb["static_dir"]
+            ray_z = jnp.dot(dir_t.astype(BF16), w[256:256 + dir_w],
+                            preferred_element_type=F32) + b
+            if encode_a:
+                ray_z = ray_z + jnp.dot(
+                    a_t.astype(BF16), w[256 + SEG:256 + SEG + n_a],
+                    preferred_element_type=F32)
+            z = jnp.dot(feat0.astype(BF16), w[:256],
+                        preferred_element_type=F32) + _bcast(ray_z)
+            feat = jnp.maximum(z, 0.0).astype(BF16)
+        else:
+            feat = feat0.astype(BF16)
+        w, b = wb["static_rgb"]
+        static_rgb = jax.nn.sigmoid(_mm(feat, w, b))
+        cols += [static_rgb, static_sigma]
+        if encode_t:
+            t_part = jnp.dot(t_t.astype(F32), t_sel,
+                             preferred_element_type=F32)
+            tx = (pe + _bcast(t_part)).astype(BF16)
+            h = _tower_fwd(wb, "transient_xyz", tx)
+            w, b = wb["transient_xyz_final"]
+            featb = _mm(h, w, b).astype(BF16)
+            w, b = wb["transient_heads"]
+            th = _mm(featb, w, b)
+            cols += [jax.nn.sigmoid(th[:, 1:4]), th[:, 0:1]]
+            c = 4
+            for f in ("fw", "bw"):
+                if f in head_flow:
+                    cols.append(flow_scale * jnp.tanh(th[:, c:c + 3]))
+                    c += 3
+        packed = jnp.concatenate(cols, -1)  # (BLK, n_planes)
+        p = packed.T.reshape(n_planes, R_F, n_samples)
+        pk = {k: p[i] for i, k in enumerate(plane_keys)}
+
+        # ---- in-kernel compositing (`rendering.py:202-295` test-time:
+        # zero noise; vis culling on transient sigma) ----
+        d_s, d_t = _deltas(zs)
+        tau_s = d_s * _softplus(pk["ssig"])
+        a_srgb = (pk["srgb_r"], pk["srgb_g"], pk["srgb_b"])
+        maps = []
+        if not encode_t:
+            # single-field composite (`models/rendering.py` inference with
+            # output_transient=False: weights from the static field alone)
+            w_ = (1.0 - jnp.exp(-tau_s)) * jnp.exp(-_lane_cumsum_excl(tau_s))
+            for cplane in a_srgb:
+                maps.append(jnp.sum(w_ * cplane, -1, keepdims=True))
+            maps.append(jnp.sum(w_ * zs, -1, keepdims=True))
+        else:
+            tsig = pk["tsig"]
+            if vis_in:
+                tsig = jnp.where(vis == 0, -10.0, tsig)
+            tau_t = d_t * _softplus(tsig)
+            u = tau_s + tau_t
+            T = jnp.exp(-_lane_cumsum_excl(u))
+            sw = (1.0 - jnp.exp(-tau_s)) * T
+            tw = (1.0 - jnp.exp(-tau_t)) * T
+            w_ = (1.0 - jnp.exp(-u)) * T
+            a_trgb = (pk["trgb_r"], pk["trgb_g"], pk["trgb_b"])
+            for sc, tc in zip(a_srgb, a_trgb):
+                maps.append(jnp.sum(sw * sc + tw * tc, -1, keepdims=True))
+            maps.append(jnp.sum(w_ * zs, -1, keepdims=True))
+            for tc in a_trgb:
+                maps.append(jnp.sum(tw * tc, -1, keepdims=True))
+            maps.append(jnp.sum(tw, -1, keepdims=True))
+            # static-only composite with its own transmittance
+            # (`rendering.py:270-278`)
+            _sw = ((1.0 - jnp.exp(-tau_s))
+                   * jnp.exp(-_lane_cumsum_excl(tau_s)))
+            for sc in a_srgb:
+                maps.append(jnp.sum(_sw * sc, -1, keepdims=True))
+            maps.append(jnp.sum(_sw * zs, -1, keepdims=True))
+            if emit_flow_maps:
+                far = zs > z_far  # flow zeroed beyond z_far
+                for c in range(3):
+                    xyz_c = o[:, c:c + 1] + dvec[:, c:c + 1] * zs
+                    maps.append(jnp.sum(w_ * xyz_c, -1, keepdims=True))
+                for tag in ("ffw", "fbw"):
+                    for c in "xyz":
+                        fpl = jnp.where(far, 0.0, pk[f"{tag}_{c}"])
+                        maps.append(jnp.sum(w_ * fpl, -1, keepdims=True))
+        out_ref[...] = jnp.concatenate(maps, -1)
+
+    interpret = lambda: jax.default_backend() == "cpu"  # noqa: E731
+
+    def _pad_rays(vs, n, n_pad):
+        if n_pad == n:
+            return vs
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            out.append(jnp.concatenate(
+                [v, jnp.zeros((n_pad - n,) + v.shape[1:], v.dtype)], 0))
+        return out
+
+    def _t_sel():
+        tsel = np.zeros((n_tau, SEG), np.float32)
+        for j in range(n_tau):
+            tsel[j, xyz_w + j] = 1.0
+        return jnp.asarray(tsel)
+
+    def host(params, o, d, zs, vis, dir_emb, a_emb, t_emb):
+        n = o.shape[0]
+        n_pad = n + (-n) % R_F
+        n_blocks = n_pad * n_samples // BLK_F
+        o, d, zs, vis, dir_emb, a_emb, t_emb = _pad_rays(
+            [o, d, zs, vis, dir_emb, a_emb, t_emb], n, n_pad)
+        pw = pack_padded_weights(params, weight_names, **pack_kw)
+        sel, is_id, phase, valid = _posenc_tables(freqs, SEG)
+        const2 = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        specs = [const2((3, SEG)), const2((1, SEG)), const2((1, SEG)),
+                 const2((1, SEG))]
+        args = [jnp.asarray(sel), jnp.asarray(is_id), jnp.asarray(phase),
+                jnp.asarray(valid)]
+        plane = pl.BlockSpec((R_F, n_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        ray_spec = lambda c: pl.BlockSpec(  # noqa: E731
+            (R_F, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if encode_t:
+            specs.append(const2((n_tau, SEG)))
+            args.append(_t_sel())
+        specs += [ray_spec(3), ray_spec(3), plane]
+        args += [o, d, zs]
+        if vis_in:
+            specs.append(plane)
+            args.append(vis)
+        if use_viewdir:
+            specs.append(ray_spec(dir_emb.shape[-1]))
+            args.append(dir_emb)
+        if encode_a:
+            specs.append(ray_spec(a_emb.shape[-1]))
+            args.append(a_emb)
+        if encode_t:
+            specs.append(ray_spec(t_emb.shape[-1]))
+            args.append(t_emb)
+        for name in weight_names:
+            w, b = pw[name]["w"], pw[name]["b"]
+            specs += [const2(w.shape), const2(b.shape)]
+            args += [w, b]
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
+        except TypeError:
+            compiler_params = None
+        maps = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((R_F, n_map), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_map), F32),
+            interpret=interpret(),
+            compiler_params=compiler_params,
+        )(*args)
+        return maps[:n]
+
+    host.cols_map = cols_map
+    host.n_map = n_map
+    return host

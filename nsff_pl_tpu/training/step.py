@@ -275,7 +275,8 @@ def make_render_fn(
             vis_poses=vis_poses if with_visibility else None,
             vis_K=vis_K if with_visibility else None,
             view_dir=view_dir,
-            mesh=mesh)
+            mesh=mesh,
+            keys=keys)
         if keys is not None:
             out = {k: v for k, v in out.items() if k in keys}
         return out
