@@ -280,6 +280,11 @@ def _stage_main(stage: str):
     import warnings
 
     warnings.filterwarnings("ignore")
+    try:  # persistent XLA cache: repeat stages skip the 30s-8min compiles
+        from nsff_pl_tpu.utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache("/tmp/jaxcache_bench")
+    except Exception:
+        pass
     if stage == "render":
         rps = _retry(measure_render, tag="render")
         print(f"STAGE_RESULT {json.dumps({'rays_per_sec': rps})}", flush=True)
@@ -456,12 +461,35 @@ def main():
     # seed band; docs/ROADMAP.md round 4), so it is NOT
     # learning-equivalent and must not carry the headline.
     headline, hl_cfg = best, best_cfg
+    hl_note = "exact warp semantics"
+    # warp_importance=0.5 may carry the headline ONLY with committed
+    # multi-seed learning-equivalence evidence at the 30-frame parity
+    # scale (VERDICT r4 #1 done-bar: >=3 seeds, 50 epochs, 512x288x30,
+    # |mean delta| <= 0.1 dB). tools/ab_campaign.py writes the table;
+    # docs/AB_WI_30F.json is committed only if the bar is met.
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "docs", "AB_WI_30F.json")
+    if os.path.exists(ab_path):
+        try:
+            ab = json.load(open(ab_path))
+        except Exception:
+            ab = None
+        wi_rates = [rows.get(f"batch{b}_wi50_rays_per_sec", 0)
+                    for b in (512, 8192)]
+        if (ab and ab.get("bar_met") and max(wi_rates) > headline):
+            headline = max(wi_rates)
+            hl_cfg = 512 if wi_rates[0] >= wi_rates[1] else 8192
+            hl_note = (
+                "warp_importance=0.5 (HT importance-concentrated warp "
+                f"estimator; learning-equiv: {ab['n_seeds']}-seed 50-epoch "
+                f"A/B at 512x288x30, mean delta {ab['mean_delta_db']:+.3f} "
+                "dB vs exact, docs/AB_WI_30F.json)")
     out = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": f"rays/s (full NSFF train step, batch={hl_cfg}, "
                 f"N_samples=128, bf16, planar fused Pallas fwd+bwd kernels, "
-                f"scan-dispatched, exact warp semantics)",
+                f"scan-dispatched, {hl_note})",
         "vs_baseline": round(headline / BASELINE_A100_RAYS_PER_SEC, 3),
     }
     out.update(rows)

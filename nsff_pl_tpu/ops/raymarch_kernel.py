@@ -720,7 +720,9 @@ def comp_map_cols(*, encode_t: bool, flow: bool):
             cols.update({"xyz_fine": (12, 3), "transient_flow_fw": (15, 3),
                          "transient_flow_bw": (18, 3)})
             m = 21
-    return cols, m
+    # pad the packed width to a sublane multiple (cf. the train
+    # compositor's 16-wide maps tile)
+    return cols, (m + 7) // 8 * 8
 
 
 def make_planar_nerf_eval_comp(
@@ -934,6 +936,9 @@ def make_planar_nerf_eval_comp(
                     for c in "xyz":
                         fpl = jnp.where(far, 0.0, pk[f"{tag}_{c}"])
                         maps.append(jnp.sum(w_ * fpl, -1, keepdims=True))
+        n_used = sum(m.shape[-1] for m in maps)
+        if n_used < n_map:
+            maps.append(jnp.zeros((R_F, n_map - n_used), F32))
         out_ref[...] = jnp.concatenate(maps, -1)
 
     interpret = lambda: jax.default_backend() == "cpu"  # noqa: E731

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Summarize the multi-seed warp-importance A/B (tools/ab_campaign.py)
+into docs/AB_WI_30F.json — the committed evidence object bench.py reads
+before letting warp_importance=0.5 carry the headline (VERDICT r4 #1
+done-bar: >=3 seeds, 50 epochs, 512x288x30, |mean delta| <= 0.1 dB).
+
+Honesty contract: bar_met is computed, never hand-set; the per-seed
+table ships alongside the means so the claim is auditable.
+"""
+import json
+import os
+import sys
+
+
+def main(src="/tmp/ab_campaign.json",
+         dst=os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "docs", "AB_WI_30F.json")):
+    results = json.load(open(src))
+    seeds = sorted({int(k.split("_s")[1]) for k in results})
+    pairs = {s: (results.get(f"exact_s{s}"), results.get(f"wi_s{s}"))
+             for s in seeds}
+    complete = {s: p for s, p in pairs.items()
+                if p[0] is not None and p[1] is not None}
+    if not complete:
+        sys.exit("no complete exact/wi seed pairs in " + src)
+    ex = [p[0] for p in complete.values()]
+    wi = [p[1] for p in complete.values()]
+    mean_ex = sum(ex) / len(ex)
+    mean_wi = sum(wi) / len(wi)
+    delta = mean_wi - mean_ex
+    out = {
+        "protocol": ("50-epoch reference recipe, 512x288 x 30-frame "
+                     "learnable scene, batch 512, bf16 planar Pallas, "
+                     "exact (warp_importance=0) vs warp_importance=0.5; "
+                     "tools/ab_campaign.py"),
+        "per_seed_db": {str(s): {"exact": round(p[0], 3),
+                                 "wi": round(p[1], 3),
+                                 "delta": round(p[1] - p[0], 3)}
+                        for s, p in complete.items()},
+        "n_seeds": len(complete),
+        "mean_exact_db": round(mean_ex, 3),
+        "mean_wi_db": round(mean_wi, 3),
+        "mean_delta_db": round(delta, 3),
+        "bar": "|mean delta| <= 0.1 dB with >= 3 seeds",
+        "bar_met": bool(len(complete) >= 3 and abs(delta) <= 0.1),
+    }
+    json.dump(out, open(dst, "w"), indent=1)
+    print(json.dumps(out, indent=1))
+    print(f"\nwrote {dst}; bar_met={out['bar_met']}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
