@@ -23,6 +23,15 @@ def run(backend: str, root: str, args, warp_subsample: int = 1,
     from nsff_pl_tpu.config import NSFFConfig
     from nsff_pl_tpu.training.trainer import NSFFSystem
 
+    from nsff_pl_tpu.training.checkpoint import latest_checkpoint
+
+    exp = tag or f"equiv_{backend}"
+    # auto-resume an interrupted arm: the trainer checkpoints each epoch
+    # and fit() continues from state.step, so a killed run loses at most
+    # one epoch instead of the whole arm.
+    resume = latest_checkpoint(os.path.join("/tmp/equiv_ckpts", exp))
+    if resume:
+        print(f"[{exp}] resuming from {resume}", flush=True)
     cfg = NSFFConfig(
         root_dir=root, img_wh=tuple(args.wh), start_end=(0, args.frames),
         N_samples=args.N_samples, batch_size=args.batch_size,
@@ -31,7 +40,7 @@ def run(backend: str, root: str, args, warp_subsample: int = 1,
         train_backend=backend, warp_subsample=warp_subsample,
         warp_importance=warp_importance, seed=args.seed,
         flow_scale=args.flow_scale, scan_steps=args.scan_steps,
-        exp_name=tag or f"equiv_{backend}",
+        exp_name=exp, ckpt_path=resume,
         log_dir="/tmp/equiv_logs", ckpt_dir="/tmp/equiv_ckpts",
         val_every_steps=10 ** 9)
     sys_ = NSFFSystem(cfg)
