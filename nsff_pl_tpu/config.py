@@ -119,6 +119,12 @@ class NSFFConfig:
     # persistent XLA compilation cache dir ('' = off): repeat CLI runs
     # skip the ~30-45 s first compiles (utils/jaxcache.py)
     jax_cache_dir: str = ""
+    # wall-clock budget in seconds (0 = unlimited): fit() checkpoints and
+    # returns cleanly at the first group boundary past the budget. For
+    # time-boxed jobs on shared/preemptible capacity — a clean exit +
+    # resume (--ckpt_path) loses at most one dispatch group, whereas an
+    # external SIGKILL mid-step can wedge a tunneled TPU grant for hours
+    time_budget_s: float = 0.0
 
     # ------------------------------------------------------------------
     @property
@@ -288,6 +294,11 @@ def add_train_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--jax_cache_dir", type=str, default="",
                         help="persistent XLA compilation cache directory; "
                              "repeat runs skip the first-compile cost")
+    parser.add_argument("--time_budget_s", type=float, default=0.0,
+                        help="wall-clock budget in seconds (0 = unlimited): "
+                             "checkpoint and exit cleanly at the first "
+                             "dispatch-group boundary past the budget; "
+                             "resume with --ckpt_path")
     return parser
 
 

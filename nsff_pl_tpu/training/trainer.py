@@ -362,6 +362,7 @@ class NSFFSystem:
                       f"({rays_s:,.0f} rays/s)", flush=True)
             t0 = time.time()
         t0 = time.time()
+        t_fit0 = time.time()
         profiling = False
         tmp_dummy = jnp.zeros((1, 1, 3))  # carried (donated) when
         # hard_sampling is off; the scan threads it through untouched
@@ -446,6 +447,19 @@ class NSFFSystem:
                 if cfg.val_every_steps <= 0:
                     self.validate(epoch)
                 self.save()
+            if (cfg.time_budget_s > 0 and step < self.total_steps
+                    and time.time() - t_fit0 > cfg.time_budget_s):
+                # clean time-boxed exit: drain the metric pipeline,
+                # checkpoint, and return — resumable via --ckpt_path
+                drain(ready + pending, step)
+                ready, pending, n_pending = [], [], 0
+                if step % self.steps_per_epoch != 0:  # epoch end saved above
+                    self.save()
+                if progress and self._dist.is_primary():
+                    print(f"time budget ({cfg.time_budget_s:.0f}s) reached "
+                          f"at step {step}/{self.total_steps}; "
+                          f"checkpointed and exiting cleanly", flush=True)
+                break
         if profiling:  # loop shorter than the trace window
             jax.profiler.stop_trace()
         self.logger.flush()

@@ -236,3 +236,31 @@ def test_trainer_tb_cadence(scene, tmp_path):
     rows = [_json.loads(l) for l in open(sys_.logger.jsonl.name)]
     steps = sorted(r["step"] for r in rows if "train/loss" in r)
     assert steps == list(range(24))
+
+
+def test_time_budget_clean_exit_and_resume(scene, tmp_path):
+    """--time_budget_s: fit() checkpoints and returns at the first group
+    boundary past the budget (clean time-boxed exit), and the run resumes
+    from that checkpoint to completion (config.py time_budget_s)."""
+    import glob
+
+    from nsff_pl_tpu.training.trainer import NSFFSystem
+
+    cfg = _cfg(scene, str(tmp_path), encode_t=True, num_epochs=25,
+               exp_name="e2e_budget", time_budget_s=1e-6)
+    sys_ = NSFFSystem(cfg)
+    state = sys_.fit(log_every=1000, progress=False)
+    stopped = int(state.step)
+    assert 0 < stopped < sys_.total_steps  # stopped early, not at the end
+    ckpts = glob.glob(os.path.join(str(tmp_path), "ckpts", "e2e_budget",
+                                   "step_*"))
+    assert any(p.endswith(f"step_{stopped}") for p in ckpts)
+    # resume (budget off) runs to completion from where it stopped
+    cfg2 = cfg.replace(time_budget_s=0.0,
+                       ckpt_path=os.path.join(str(tmp_path), "ckpts",
+                                              "e2e_budget",
+                                              f"step_{stopped}"))
+    sys2 = NSFFSystem(cfg2)
+    assert int(sys2.state.step) == stopped
+    state2 = sys2.fit(log_every=1000, progress=False)
+    assert int(state2.step) == sys2.total_steps
