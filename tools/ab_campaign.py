@@ -55,8 +55,21 @@ def main():
                 print(f"[{key}] cached: {results[key]:.3f} dB", flush=True)
                 continue
             args.seed = seed
-            psnr = run("pallas", args.scene, args, warp_importance=wi,
-                       tag=f"ab30_{key}")
+            # the tunneled backend intermittently drops a remote-compile
+            # HTTP body mid-arm; run() auto-resumes from the arm's latest
+            # epoch checkpoint, so a retry loses at most one epoch
+            for attempt in range(3):
+                try:
+                    psnr = run("pallas", args.scene, args,
+                               warp_importance=wi, tag=f"ab30_{key}")
+                    break
+                except Exception as e:
+                    print(f"[{key}] attempt {attempt + 1}/3 failed: "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                    if attempt == 2:
+                        raise
+                    import time
+                    time.sleep(30)
             results[key] = float(psnr)
             json.dump(results, open(args.out, "w"), indent=1)
             print(f"[{key}] final val PSNR = {psnr:.3f} dB", flush=True)
