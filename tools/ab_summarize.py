@@ -12,6 +12,11 @@ import os
 import sys
 
 
+def _std(xs):
+    m = sum(xs) / len(xs)
+    return (sum((x - m) ** 2 for x in xs) / len(xs)) ** 0.5
+
+
 def main(src="/tmp/ab_campaign.json",
          dst=os.path.join(os.path.dirname(os.path.dirname(
              os.path.abspath(__file__))), "docs", "AB_WI_30F.json")):
@@ -47,6 +52,14 @@ def main(src="/tmp/ab_campaign.json",
         # ships alongside so the claim stays auditable either way.
         "bar": "mean delta >= -0.1 dB (no quality loss) with >= 3 seeds",
         "bar_met": bool(len(complete) >= 3 and delta >= -0.1),
+        # spread context so the mean is auditable against seed noise:
+        # the 0.035 dB band from round 4 was calibrated on the 10-frame
+        # protocol; the 30-frame protocol's cross-seed spread is larger
+        # (report it rather than imply the small band applies here)
+        "delta_std_db": round(_std([p[1] - p[0]
+                                    for p in complete.values()]), 3),
+        "exact_spread_db": round(max(ex) - min(ex), 3),
+        "wi_spread_db": round(max(wi) - min(wi), 3),
     }
     json.dump(out, open(dst, "w"), indent=1)
     print(json.dumps(out, indent=1))
