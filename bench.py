@@ -295,6 +295,18 @@ def _stage_main(stage: str):
         spf = _retry(lambda: measure_render_frame(output_transient=False),
                      tag="render_frame_static")
         print(f"STAGE_RESULT {json.dumps({'s_per_frame': spf})}", flush=True)
+    elif stage == "interp":
+        # full-scale MPI interpolation (512x288, 128 planes, fw+bw
+        # average-mode splats — `/root/reference/models/rendering.py:
+        # 439-449` semantics) + its bytes-moved roofline floor ledger
+        # (VERDICT r4 #8). tools/bench_interp.py builds the measurement;
+        # its module globals carry the floor dict + steady-state rate.
+        import runpy
+        g = _retry(lambda: runpy.run_path(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "bench_interp.py")), tag="interp")
+        print(f"STAGE_RESULT {json.dumps({'s_per_frame': g['steady_s'], 'floor': g['floor']})}",
+              flush=True)
     elif stage.startswith("batch:"):
         parts = stage.split(":")
         bs = int(parts[1])
@@ -373,6 +385,14 @@ def main():
               flush=True)
         render_rows["render_s_per_frame_512x288_static"] = round(
             r["s_per_frame"], 4)
+    r = _run_stage("interp")
+    if r is not None:
+        print(f"# interpolate (512x288x128-plane MPI frame, fw+bw "
+              f"splats): {r['s_per_frame']:.3f} s/frame "
+              f"({r['floor'].get('pct_of_floor', '?')}% of bytes-moved "
+              f"floor)", flush=True)
+        render_rows["interp_s_per_frame"] = round(r["s_per_frame"], 4)
+        render_rows["interp_floor"] = r["floor"]
     best = 0.0
     best_cfg = None
     rows = {}
